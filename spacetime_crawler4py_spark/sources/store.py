@@ -1,0 +1,109 @@
+"""Parquet snapshot store with Iceberg-style semantics.
+
+The north_rule targets Iceberg tables; this container ships no Iceberg
+runtime jar, so this module provides the same *contract* over plain
+parquet — the engine talks to this interface only, and an Iceberg-backed
+implementation is a drop-in (MERGE INTO ≙ append+compact here; snapshot
+reads ≙ versioned manifests):
+
+* **append(name, df)**   — atomic delta commit (new parquet dir + manifest
+  swap), ≙ Iceberg fast-append snapshot. Replaces the reference's
+  per-URL ``shelve.sync()`` write amplification
+  (reference crawler/frontier.py:95,107) with one commit per batch.
+* **compact(name, df)**  — rewrite the table to a single base, ≙ Iceberg
+  rewrite/compaction; keeps read fan-in bounded for append-heavy tables.
+* **read(name)**         — current snapshot as a DataFrame.
+* **read_version(name, v)** — time travel to an older manifest, which is
+  what crash-resume tests restore from (reference resume semantics,
+  crawler/frontier.py:48-59).
+
+Manifests are JSON files swapped with ``os.replace`` (atomic on POSIX);
+every manifest version is retained, so a reader never sees a partial
+commit and history stays navigable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["SnapshotStore"]
+
+
+class SnapshotStore:
+    def __init__(self, spark: "SparkSession", base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- manifest helpers -----------------------------------------------------
+    def _tdir(self, name: str) -> str:
+        d = os.path.join(self.base_dir, name)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _manifest_path(self, name: str, version: int | None = None) -> str:
+        if version is None:
+            return os.path.join(self._tdir(name), "MANIFEST.json")
+        return os.path.join(self._tdir(name), f"manifest-v{version:06d}.json")
+
+    def _load_manifest(self, name: str, version: int | None = None) -> dict:
+        path = self._manifest_path(name, version)
+        if not os.path.exists(path):
+            return {"version": 0, "paths": []}
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def _commit(self, name: str, paths: list[str]) -> int:
+        cur = self._load_manifest(name)
+        version = cur["version"] + 1
+        manifest = {"version": version, "paths": paths}
+        versioned = self._manifest_path(name, version)
+        with open(versioned, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(name))
+        return version
+
+    # -- public API -----------------------------------------------------------
+    def current_version(self, name: str) -> int:
+        return self._load_manifest(name)["version"]
+
+    def exists(self, name: str) -> bool:
+        return bool(self._load_manifest(name)["paths"])
+
+    def append(self, name: str, df: "DataFrame") -> int:
+        cur = self._load_manifest(name)
+        delta_dir = os.path.join(self._tdir(name), f"delta-{cur['version'] + 1:06d}")
+        df.write.mode("overwrite").parquet(delta_dir)
+        return self._commit(name, cur["paths"] + [delta_dir])
+
+    def compact(self, name: str, df: "DataFrame | None" = None) -> int:
+        """Rewrite the table as one base dir. With df=None, compacts the
+        current contents (must be materialized before the manifest swap,
+        hence the write-then-commit order)."""
+        if df is None:
+            df = self.read(name)
+        base_dir = os.path.join(
+            self._tdir(name), f"base-{self.current_version(name) + 1:06d}"
+        )
+        df.write.mode("overwrite").parquet(base_dir)
+        return self._commit(name, [base_dir])
+
+    def read(self, name: str, version: int | None = None) -> "DataFrame":
+        manifest = self._load_manifest(name, version)
+        if not manifest["paths"]:
+            raise FileNotFoundError(f"table {name} is empty (no snapshot)")
+        return self.spark.read.parquet(*manifest["paths"])
+
+    def read_or_none(self, name: str, version: int | None = None):
+        try:
+            return self.read(name, version)
+        except FileNotFoundError:
+            return None

@@ -1,0 +1,617 @@
+"""The epoch-loop crawl engine.
+
+The reference's continuous pull loop (worker.py:21-34, frontier.py:61-87)
+becomes a driver-side batch fixpoint: each *round* is one politeness
+quantum (0.5 s of virtual time — every domain serves at most one URL),
+each round is executed as Spark batch jobs over the frontier tables, and
+the loop runs until no URL is pending (frontier.py:64-65 termination).
+
+Two ordering disciplines:
+
+* ``ordering="exact"`` — parity mode. Reproduces the reference heap's pop
+  order *exactly*, including mid-round domain joiners (a domain discovered
+  during round k serves its first URL within round k, reference
+  frontier.py:112-125 push-at-now semantics). Fetch/parse/validation run
+  as Spark stages; the lexicographic drain over ready domains — pure
+  scheduling metadata, one tuple per domain — runs on the driver, as does
+  first-occurrence dedup bookkeeping for the round. This is the mode the
+  golden tests compare against the single-threaded oracle.
+
+* ``ordering="relaxed"`` — scale mode. Everything is DataFrame-native:
+  window-ranked token-budget dequeue (plans/dequeue.py), fused
+  fetch+parse mapInPandas, distributed first-occurrence dedup
+  (window over url_hash), Bloom-prefiltered anti-join against the seen
+  set, and appends. ``rounds_per_epoch`` politeness quanta batch into one
+  epoch for throughput; newly discovered domains start at the next epoch
+  (the one documented scheduling deviation — URL-seen set and per-domain
+  FIFO discipline are unaffected).
+
+State lives in the SnapshotStore tables (frontier, completions, documents,
+fingerprints, fetch_log, metrics); the engine can be killed and resumed
+from the latest snapshot (reference resume semantics frontier.py:48-59).
+"""
+
+from __future__ import annotations
+
+import heapq
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import urlkit
+from ..functions.bloom import BloomFilter
+from ..functions.fingerprint import NEAR_DUP_TAU, jaccard
+from ..plans.dequeue import DISCOVERY_ORDER, politeness_heads
+from ..plans.parse_stage import PARSED_SCHEMA, make_parse_stage
+from ..sources.store import SnapshotStore
+
+__all__ = ["CrawlEngine", "EngineConfig"]
+
+FRONTIER_SCHEMA = (
+    "url_hash string, url string, domain string, salt int, parent string, "
+    "rk_round bigint, rk_pop string, rk_pos int, epoch_added bigint"
+)
+COMPLETIONS_SCHEMA = "url_hash string, round bigint"
+DOCUMENTS_SCHEMA = (
+    "doc_id string, domain string, round bigint, word_count int, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+FINGERPRINTS_SCHEMA = (
+    "doc_id string, ord_round bigint, ord_pop string, "
+    "fps array<bigint>, bands array<bigint>"
+)
+FETCHLOG_SCHEMA = (
+    "round bigint, url string, url_hash string, domain string, "
+    "gate string, checksum string, doc_id string"
+)
+METRICS_SCHEMA = (
+    "round bigint, pops bigint, parsed_ok bigint, new_urls bigint, "
+    "docs_saved bigint, near_dups bigint, exact_dups bigint, wall_s double"
+)
+
+
+@dataclass
+class EngineConfig:
+    politeness_delay: float = 0.5          # reference config.ini:12, floored
+    ordering: str = "exact"                # "exact" | "relaxed"
+    rounds_per_epoch: int = 1              # relaxed-mode token budget
+    neardup: str = "exact"                 # "exact" | "lsh" | "off"
+    use_bloom: bool = False
+    salt_buckets: int = 8                  # skew salting (north_rule)
+    robots: dict | None = None
+    minhash_perm: int = 64
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        web_df: DataFrame | None,
+        config: EngineConfig | None = None,
+    ):
+        """``web_df`` is the synthetic fetch oracle
+        (url, status, final_url, content_type, payload, domain); in real
+        mode it is replaced by an HTTP mapInPandas fetcher (not exercised
+        in this sandbox)."""
+        self.spark = spark
+        self.store = store
+        self.web_df = web_df
+        self.cfg = config or EngineConfig()
+        self._parse_stage = make_parse_stage(
+            robots=self.cfg.robots, minhash_perm=self.cfg.minhash_perm
+        )
+        # in-memory mirrors rebuilt from snapshots on resume
+        self._round = 0
+        self._fps_index: list[tuple[str, frozenset]] = []  # exact near-dup
+        self._saved_doc_ids: set[str] = set()
+        self._checksums: set[str] = set()
+        self._bloom: BloomFilter | None = None
+        self._resume()
+
+    # ------------------------------------------------------------------
+    # state & snapshots
+    # ------------------------------------------------------------------
+    def _resume(self) -> None:
+        comp = self.store.read_or_none("completions")
+        if comp is not None:
+            row = comp.agg(F.max("round").alias("m")).collect()[0]
+            self._round = int(row.m) + 1 if row.m is not None else 0
+        if self.cfg.neardup == "exact":
+            fps_df = self.store.read_or_none("fingerprints")
+            if fps_df is not None:
+                rows = fps_df.orderBy("ord_round", "ord_pop").collect()
+                self._fps_index = [
+                    (r.doc_id, frozenset(r.fps or [])) for r in rows
+                ]
+        docs = self.store.read_or_none("documents")
+        if docs is not None:
+            self._saved_doc_ids = {
+                r.doc_id for r in docs.select("doc_id").distinct().collect()
+            }
+        log = self.store.read_or_none("fetch_log")
+        if log is not None:
+            self._checksums = {
+                r.checksum
+                for r in log.select("checksum").where("checksum is not null")
+                .distinct().collect()
+            }
+        if self.cfg.use_bloom:
+            frontier = self.store.read_or_none("frontier")
+            if frontier is not None:
+                n = frontier.count()
+                self._bloom = BloomFilter.build_from_df(
+                    frontier, "url_hash", max(n, 1024)
+                )
+            else:
+                self._bloom = BloomFilter.sized_for(1 << 16)
+
+    def seed(self, urls: list[str]) -> None:
+        """Insert seed URLs (reference frontier.py:38-40); idempotent via
+        the same first-seen rule as discovered links."""
+        rows = []
+        seen_local = set()
+        for i, raw in enumerate(urls):
+            url = urlkit.normalize(raw)
+            h = urlkit.url_hash(url)
+            if h in seen_local:
+                continue
+            seen_local.add(h)
+            rows.append(
+                (h, url, urlkit.politeness_host(url), self._salt_of(url), None,
+                 -1, "", i, -1)
+            )
+        df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        existing = self.store.read_or_none("frontier")
+        if existing is not None:
+            df = df.join(existing.select("url_hash"), "url_hash", "left_anti")
+        self.store.append("frontier", df)
+        if self._bloom is not None:
+            self._bloom.add_many(r[0] for r in rows)
+
+    def _salt_of(self, url: str) -> int:
+        return hash(url) % self.cfg.salt_buckets
+
+    def _pending_df(self) -> DataFrame:
+        frontier = self.store.read("frontier")
+        comp = self.store.read_or_none("completions")
+        if comp is None:
+            return frontier
+        return frontier.join(comp.select("url_hash"), "url_hash", "left_anti")
+
+    # ------------------------------------------------------------------
+    # shared stages
+    # ------------------------------------------------------------------
+    def _fetch_and_parse(self, dequeued: DataFrame) -> DataFrame:
+        """dequeued columns: url, url_hash, domain, slot, rk_round, rk_pop,
+        rk_pos. Joins the fetch oracle, then the fused parse stage."""
+        web = self.web_df.select(
+            "url", "status", "final_url", "content_type", "payload"
+        )
+        joined = dequeued.select(
+            "url", "url_hash", "domain", "slot", "rk_round", "rk_pop", "rk_pos"
+        ).join(F.broadcast(web), "url", "left")
+        return joined.mapInPandas(self._parse_stage, schema=PARSED_SCHEMA)
+
+    def _append_round_outputs(
+        self,
+        round_no: int,
+        parsed_rows: list,
+        pop_order: list[tuple[int, str]],
+        new_frontier_rows: list[tuple],
+    ) -> dict:
+        """Exact-mode epilogue: near-dup in pop order, document saves,
+        fingerprint index, logs, metrics. parsed_rows are collected Rows
+        keyed by url; pop_order is [(pop_idx, url)]."""
+        by_url = {r.url: r for r in parsed_rows}
+        docs_rows, fps_rows, log_rows = [], [], []
+        near_dups = 0
+        exact_dups = 0
+        for pop_idx, url in pop_order:
+            r = by_url[url]
+            log_rows.append(
+                (round_no, r.url, r.url_hash, r.domain, r.gate, r.checksum, r.doc_id)
+            )
+            if r.gate != "ok":
+                continue
+            if r.checksum in self._checksums:
+                exact_dups += 1
+            else:
+                self._checksums.add(r.checksum)
+            fps = frozenset(r.fps or [])
+            is_near = any(
+                jaccard(fps, other) >= NEAR_DUP_TAU
+                for _, other in self._fps_index
+            )
+            self._fps_index.append((r.doc_id, fps))
+            fps_rows.append(
+                (r.doc_id, round_no, f"{pop_idx:08d}", list(r.fps or []),
+                 list(r.bands or []))
+            )
+            if is_near:
+                near_dups += 1
+                continue  # skip save; outlinks already harvested (quirk §2.8.4)
+            if r.doc_id in self._saved_doc_ids:
+                continue  # one save per doc_id (scraper.py:41-44)
+            self._saved_doc_ids.add(r.doc_id)
+            docs_rows.append(
+                (r.doc_id, r.domain, round_no, r.word_count,
+                 [s.asDict() for s in (r.spans or [])])
+            )
+        if new_frontier_rows:
+            self.store.append(
+                "frontier",
+                self.spark.createDataFrame(new_frontier_rows, FRONTIER_SCHEMA),
+            )
+            if self._bloom is not None:
+                self._bloom.add_many(row[0] for row in new_frontier_rows)
+        self.store.append(
+            "completions",
+            self.spark.createDataFrame(
+                [(by_url[u].url_hash, round_no) for _, u in pop_order],
+                COMPLETIONS_SCHEMA,
+            ),
+        )
+        if docs_rows:
+            self.store.append(
+                "documents", self.spark.createDataFrame(docs_rows, DOCUMENTS_SCHEMA)
+            )
+        if fps_rows:
+            self.store.append(
+                "fingerprints",
+                self.spark.createDataFrame(fps_rows, FINGERPRINTS_SCHEMA),
+            )
+        self.store.append(
+            "fetch_log", self.spark.createDataFrame(log_rows, FETCHLOG_SCHEMA)
+        )
+        return {
+            "pops": len(pop_order),
+            "parsed_ok": sum(1 for r in parsed_rows if r.gate == "ok"),
+            "new_urls": len(new_frontier_rows),
+            "docs_saved": len(docs_rows),
+            "near_dups": near_dups,
+            "exact_dups": exact_dups,
+        }
+
+    # ------------------------------------------------------------------
+    # exact (parity) round
+    # ------------------------------------------------------------------
+    def _run_exact_round(self) -> bool:
+        t0 = time.monotonic()
+        round_no = self._round
+        pending = self._pending_df()
+        heads = politeness_heads(pending, 1, salted=True).select(
+            "url", "url_hash", "domain", "slot", *DISCOVERY_ORDER
+        )
+        head_rows = heads.collect()
+        if not head_rows:
+            return False
+
+        fetched: dict[str, object] = {}   # domain -> parsed Row
+        new_hash_flags: dict[str, bool] = {}  # url_hash -> absent-from-frontier?
+
+        def fetch_wave(entries: list[tuple]) -> None:
+            """entries: (url, url_hash, domain). Runs the Spark fetch+parse
+            stage and records which candidate hashes are new vs frontier."""
+            df = self.spark.createDataFrame(
+                [(u, h, d, 1, round_no, "", 0) for (u, h, d) in entries],
+                "url string, url_hash string, domain string, slot int, "
+                "rk_round bigint, rk_pop string, rk_pos int",
+            )
+            parsed = self._fetch_and_parse(df)
+            rows = parsed.collect()
+            cand_hashes = sorted(
+                {
+                    link.url_hash
+                    for r in rows
+                    for link in (r.outlinks or [])
+                    if link.url_hash not in new_hash_flags
+                }
+            )
+            if cand_hashes:
+                cand_df = self.spark.createDataFrame(
+                    [(h,) for h in cand_hashes], "url_hash string"
+                )
+                frontier_hashes = self.store.read("frontier").select("url_hash")
+                fresh = {
+                    r.url_hash
+                    for r in cand_df.join(
+                        frontier_hashes, "url_hash", "left_anti"
+                    ).collect()
+                }
+                for h in cand_hashes:
+                    new_hash_flags[h] = h in fresh
+            for r in rows:
+                fetched[r.domain] = r
+
+        fetch_wave([(r.url, r.url_hash, r.domain) for r in head_rows])
+
+        # lexicographic drain with mid-round joiners (frontier.py heap at a
+        # single virtual timestamp)
+        ready: list[str] = sorted(fetched.keys())
+        heapq.heapify(ready)
+        joiner_heads: dict[str, tuple] = {}
+        served: set[str] = set()
+        round_new: set[str] = set()
+        pop_order: list[tuple[int, str]] = []
+        new_frontier_rows: list[tuple] = []
+        parsed_rows: list = []
+        pop_idx = 0
+        while ready:
+            if ready[0] not in fetched:
+                fetch_wave(
+                    [joiner_heads[d] for d in ready if d not in fetched]
+                )
+            domain = heapq.heappop(ready)
+            row = fetched[domain]
+            served.add(domain)
+            parsed_rows.append(row)
+            pop_order.append((pop_idx, row.url))
+            for link in row.outlinks or []:
+                h = link.url_hash
+                if h in round_new or not new_hash_flags.get(h, False):
+                    continue
+                round_new.add(h)
+                new_frontier_rows.append(
+                    (h, link.url, link.domain, self._salt_of(link.url),
+                     row.doc_id or row.url, round_no, f"{pop_idx:08d}",
+                     link.pos, round_no)
+                )
+                dom = link.domain
+                if (
+                    dom not in served
+                    and dom not in joiner_heads
+                    and not any(dom == d for d in ready)
+                    and dom not in fetched
+                ):
+                    joiner_heads[dom] = (link.url, h, dom)
+                    heapq.heappush(ready, dom)
+            pop_idx += 1
+
+        stats = self._append_round_outputs(
+            round_no, parsed_rows, pop_order, new_frontier_rows
+        )
+        self._write_metrics(round_no, stats, time.monotonic() - t0)
+        self._round += 1
+        return True
+
+    # ------------------------------------------------------------------
+    # relaxed (scale) epoch
+    # ------------------------------------------------------------------
+    def _run_relaxed_epoch(self) -> bool:
+        t0 = time.monotonic()
+        base = self._round
+        tokens = self.cfg.rounds_per_epoch
+        pending = self._pending_df()
+        dequeued = politeness_heads(pending, tokens, salted=True)
+        parsed = self._fetch_and_parse(dequeued)
+        parsed.persist()
+        pops = parsed.count()
+        if pops == 0:
+            parsed.unpersist()
+            return False
+
+        # candidate links in deterministic discovery order
+        ok = parsed.where(F.col("gate") == "ok")
+        cand = (
+            ok.select(
+                F.col("slot"),
+                F.col("domain").alias("parent_domain"),
+                F.coalesce(F.col("doc_id"), F.col("url")).alias("parent"),
+                F.explode("outlinks").alias("link"),
+            )
+            .select(
+                F.col("link.url_hash").alias("url_hash"),
+                F.col("link.url").alias("url"),
+                F.col("link.domain").alias("domain"),
+                "slot", "parent_domain", "parent",
+                F.col("link.pos").alias("pos"),
+            )
+        )
+        first_w = Window.partitionBy("url_hash").orderBy(
+            "slot", "parent_domain", "pos"
+        )
+        firsts = (
+            cand.withColumn("_rn", F.row_number().over(first_w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        frontier_hashes = self.store.read("frontier").select("url_hash")
+        if self._bloom is not None:
+            state = self._bloom.to_state()
+
+            def probe(s):
+                import pandas as pd  # noqa: F401
+                return BloomFilter.from_state(state).might_contain_series(s)
+
+            from pyspark.sql.pandas.functions import pandas_udf
+            from pyspark.sql.types import BooleanType
+
+            probe_udf = pandas_udf(probe, returnType=BooleanType())
+            flagged = firsts.withColumn("_maybe", probe_udf("url_hash"))
+            definitely_new = flagged.where(~F.col("_maybe")).drop("_maybe")
+            maybe_seen = flagged.where(F.col("_maybe")).drop("_maybe")
+            new_links = definitely_new.unionByName(
+                maybe_seen.join(frontier_hashes, "url_hash", "left_anti")
+            )
+        else:
+            new_links = firsts.join(frontier_hashes, "url_hash", "left_anti")
+
+        new_rows = new_links.select(
+            "url_hash", "url", "domain",
+            F.pmod(F.xxhash64("url"), F.lit(self.cfg.salt_buckets))
+            .cast("int").alias("salt"),
+            "parent",
+            (F.lit(base) + F.col("slot") - 1).alias("rk_round"),
+            F.col("parent_domain").alias("rk_pop"),
+            F.col("pos").alias("rk_pos"),
+            F.lit(base).alias("epoch_added"),
+        )
+        n_new = new_rows.count()
+        self.store.append("frontier", new_rows)
+        if self._bloom is not None and n_new:
+            inc = BloomFilter(self._bloom.n_bits, self._bloom.k)
+            inc = BloomFilter.build_from_df(new_rows, "url_hash", n_new)
+            # rebuild keeps sizing; merge only when shapes match
+            if inc.n_bits == self._bloom.n_bits:
+                self._bloom.merge_inplace(inc)
+            else:
+                self._bloom.add_many(
+                    r.url_hash for r in new_rows.select("url_hash").collect()
+                )
+
+        self.store.append(
+            "completions",
+            parsed.select(
+                "url_hash", (F.lit(base) + F.col("slot") - 1).alias("round")
+            ),
+        )
+
+        # documents + near-dup (lsh or off) — pop order key = (round, domain)
+        docs = ok.select(
+            "doc_id", "domain", "slot", "word_count", "spans", "fps", "bands",
+            "checksum", (F.lit(base) + F.col("slot") - 1).alias("ord_round"),
+            F.col("domain").alias("ord_pop"),
+        )
+        doc_w = Window.partitionBy("doc_id").orderBy("ord_round", "ord_pop")
+        docs_first = (
+            docs.withColumn("_rn", F.row_number().over(doc_w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        near_df = self._flag_near_dups_lsh(docs_first)
+        prior_docs = self.store.read_or_none("documents")
+        to_save = near_df.where(~F.col("is_near_dup"))
+        if prior_docs is not None:
+            to_save = to_save.join(
+                prior_docs.select("doc_id"), "doc_id", "left_anti"
+            )
+        saved_df = to_save.select(
+            "doc_id", "domain", F.col("ord_round").alias("round"),
+            "word_count", "spans",
+        )
+        n_saved = saved_df.count()
+        self.store.append("documents", saved_df)
+        self.store.append(
+            "fingerprints",
+            docs_first.select("doc_id", "ord_round", "ord_pop", "fps", "bands"),
+        )
+        self.store.append(
+            "fetch_log",
+            parsed.select(
+                (F.lit(base) + F.col("slot") - 1).alias("round"),
+                "url", "url_hash", "domain", "gate", "checksum", "doc_id",
+            ),
+        )
+        near_dups = near_df.where(F.col("is_near_dup")).count()
+        stats = {
+            "pops": pops,
+            "parsed_ok": ok.count(),
+            "new_urls": n_new,
+            "docs_saved": n_saved,
+            "near_dups": near_dups,
+            "exact_dups": 0,  # metric-only quirk; see exact mode
+        }
+        parsed.unpersist()
+        self._write_metrics(base, stats, time.monotonic() - t0)
+        self._round = base + tokens
+        return True
+
+    def _flag_near_dups_lsh(self, docs_first: DataFrame) -> DataFrame:
+        """Banded MinHash candidate join + exact-Jaccard verification.
+        'Previously seen' = earlier (ord_round, ord_pop) or a prior-epoch
+        doc (SURVEY §2.4 epoch-ordering convention)."""
+        if self.cfg.neardup == "off":
+            return docs_first.withColumn("is_near_dup", F.lit(False))
+        prior = self.store.read_or_none("fingerprints")
+        left = docs_first.select(
+            "doc_id", "ord_round", "ord_pop", "fps",
+            F.posexplode("bands").alias("band_idx", "band_val"),
+        )
+        right_batch = docs_first.select(
+            F.col("doc_id").alias("o_doc_id"),
+            F.col("ord_round").alias("o_round"),
+            F.col("ord_pop").alias("o_pop"),
+            F.col("fps").alias("o_fps"),
+            F.posexplode("bands").alias("band_idx", "band_val"),
+        )
+        if prior is not None:
+            right_prior = prior.select(
+                F.col("doc_id").alias("o_doc_id"),
+                F.col("ord_round").alias("o_round"),
+                F.col("ord_pop").alias("o_pop"),
+                F.col("fps").alias("o_fps"),
+                F.posexplode("bands").alias("band_idx", "band_val"),
+            )
+            right = right_batch.unionByName(right_prior)
+        else:
+            right = right_batch
+        pairs = (
+            left.join(right, ["band_idx", "band_val"])
+            .where(
+                (F.col("o_round") < F.col("ord_round"))
+                | (
+                    (F.col("o_round") == F.col("ord_round"))
+                    & (F.col("o_pop") < F.col("ord_pop"))
+                )
+            )
+            .select("doc_id", "fps", "o_doc_id", "o_fps")
+            .dropDuplicates(["doc_id", "o_doc_id"])
+        )
+        sim = F.when(
+            (F.size("fps") == 0) & (F.size("o_fps") == 0), F.lit(1.0)
+        ).otherwise(
+            F.size(F.array_intersect("fps", "o_fps"))
+            / F.size(F.array_union("fps", "o_fps"))
+        )
+        hits = (
+            pairs.withColumn("_sim", sim)
+            .where(F.col("_sim") >= F.lit(NEAR_DUP_TAU))
+            .select("doc_id")
+            .distinct()
+            .withColumn("is_near_dup", F.lit(True))
+        )
+        return docs_first.join(hits, "doc_id", "left").withColumn(
+            "is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(False))
+        )
+
+    # ------------------------------------------------------------------
+    def _write_metrics(self, round_no: int, stats: dict, wall_s: float) -> None:
+        self.store.append(
+            "metrics",
+            self.spark.createDataFrame(
+                [(
+                    round_no, stats["pops"], stats["parsed_ok"],
+                    stats["new_urls"], stats["docs_saved"],
+                    stats["near_dups"], stats["exact_dups"], wall_s,
+                )],
+                METRICS_SCHEMA,
+            ),
+        )
+
+    def run(self, max_rounds: int | None = None) -> dict:
+        """Crawl to fixpoint (or max_rounds). Returns summary stats."""
+        rounds = 0
+        while max_rounds is None or rounds < max_rounds:
+            if self.cfg.ordering == "exact":
+                progressed = self._run_exact_round()
+            else:
+                progressed = self._run_relaxed_epoch()
+            if not progressed:
+                break
+            rounds += 1
+        return self.summary()
+
+    def summary(self) -> dict:
+        frontier = self.store.read_or_none("frontier")
+        docs = self.store.read_or_none("documents")
+        comp = self.store.read_or_none("completions")
+        return {
+            "rounds": self._round,
+            "urls_seen": frontier.count() if frontier is not None else 0,
+            "urls_done": comp.select("url_hash").distinct().count()
+            if comp is not None else 0,
+            "docs_saved": docs.count() if docs is not None else 0,
+        }

@@ -1,0 +1,78 @@
+"""Crash-resume: stop after k rounds, rebuild the engine from snapshots,
+finish, and compare against an uninterrupted run (reference resume
+semantics, crawler/frontier.py:48-59)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    BinaryType, IntegerType, StringType, StructField, StructType,
+)
+
+from spacetime_crawler4py_spark.sources.store import SnapshotStore
+from spacetime_crawler4py_spark.sources.webgen import generate_web
+from spacetime_crawler4py_spark.streaming.epochs import CrawlEngine, EngineConfig
+
+WEB_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("status", IntegerType()),
+        StructField("final_url", StringType()),
+        StructField("content_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("domain", StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def web():
+    return generate_web(n_pages=40, seed=7)
+
+
+@pytest.fixture(scope="module")
+def web_df(spark, web):
+    return spark.createDataFrame(web.to_rows(), WEB_SCHEMA)
+
+
+def _state(store: SnapshotStore):
+    frontier = {
+        (r.url_hash, r.url, r.domain, r.rk_round, r.rk_pop, r.rk_pos)
+        for r in store.read("frontier").collect()
+    }
+    docs = {d.doc_id for d in store.read("documents").collect()}
+    done = {(r.url_hash, r.round) for r in store.read("completions").collect()}
+    return frontier, docs, done
+
+
+def test_exact_resume_equals_uninterrupted(spark, web, web_df, tmp_path):
+    cfg = dict(ordering="exact", neardup="exact")
+    # uninterrupted
+    store_a = SnapshotStore(spark, str(tmp_path / "a"))
+    eng_a = CrawlEngine(spark, store_a, web_df, EngineConfig(**cfg))
+    eng_a.seed(web.seeds)
+    eng_a.run()
+    # interrupted after 3 rounds, resumed by a *fresh* engine instance
+    store_b = SnapshotStore(spark, str(tmp_path / "b"))
+    eng_b1 = CrawlEngine(spark, store_b, web_df, EngineConfig(**cfg))
+    eng_b1.seed(web.seeds)
+    eng_b1.run(max_rounds=3)
+    del eng_b1
+    eng_b2 = CrawlEngine(spark, store_b, web_df, EngineConfig(**cfg))
+    assert eng_b2._round == 3  # resumed round counter from snapshots
+    eng_b2.run()
+    assert _state(store_a) == _state(store_b)
+
+
+def test_snapshot_time_travel(spark, web, web_df, tmp_path):
+    """Older manifest versions stay readable (Iceberg-snapshot semantics)."""
+    store = SnapshotStore(spark, str(tmp_path / "tt"))
+    eng = CrawlEngine(spark, store, web_df, EngineConfig(ordering="exact"))
+    eng.seed(web.seeds)
+    eng.run(max_rounds=2)
+    v1 = store.current_version("frontier")
+    n1 = store.read("frontier").count()
+    eng.run(max_rounds=2)
+    n2 = store.read("frontier").count()
+    assert n2 >= n1
+    assert store.read("frontier", version=v1).count() == n1
