@@ -1,0 +1,162 @@
+"""Benchmark harness.
+
+Runs (a) the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and (b) the north-rule crawl throughput benchmark —
+frontier dequeue + fetch + parse + merge over a synthetic skewed frontier —
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "crawl": {...}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores (default 32)
+  BENCH_CRAWL_URLS     synthetic frontier size (default 400000)
+  BENCH_CRAWL_EPOCHS   epochs to run (default 3)
+  BENCH_CRAWL_TOKENS   politeness tokens per domain per epoch (default 32)
+  BENCH_CRAWL_DOMAINS  domain count (default 1500)
+  BENCH_SKIP_QUERIES   "1" -> crawl benchmark only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry
+from spacetime_crawler4py_spark.session import get_spark
+from spacetime_crawler4py_spark.sources.store import SnapshotStore
+from spacetime_crawler4py_spark.sources.synthfrontier import (
+    make_synthetic_fetcher,
+    synthetic_crawl_inputs,
+)
+from spacetime_crawler4py_spark.streaming.epochs import CrawlEngine, EngineConfig
+
+# headline queries (subset of the contract suite that is meaningful at sf0.1)
+BENCH_QUERIES = [
+    "top_words",
+    "longest_doc",
+    "quality_scores",
+    "langid",
+    "fingerprints",
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_topk",
+    "embedding_near_dups",
+    "ann_lsh",
+    "seen_anti_join",
+    "first_seen",
+    "token_bucket_dequeue",
+    "revenue_rollup",
+    "url_seen_hash",
+    "is_valid_filter",
+    "media_metadata",
+    "frame_sample",
+]
+
+
+def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    qs = entry.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.monotonic() - t0, 3)
+        print(f"[bench] {name}: {out[name]:.2f}s ({n} rows)", file=sys.stderr)
+    return out
+
+
+def crawl_throughput(
+    spark: SparkSession,
+    n_urls: int,
+    n_domains: int,
+    tokens: int,
+    epochs: int,
+) -> dict:
+    """The north-rule metric: URLs/s through dequeue+fetch+parse+merge."""
+    # seed half the graph: crawling discovers the rest via outlinks, so the
+    # measured epochs carry real dedup + anti-join + merge volume
+    frontier, _web = synthetic_crawl_inputs(
+        spark, n_urls, n_domains, seed_fraction=0.5
+    )
+    tmp = tempfile.mkdtemp(prefix="crawlbench-")
+    try:
+        store = SnapshotStore(spark, tmp)
+        # materialize the frontier before the clock starts
+        store.append("frontier", frontier)
+        engine = CrawlEngine(
+            spark, store, None,
+            EngineConfig(
+                ordering="relaxed", rounds_per_epoch=tokens, neardup="off",
+                use_bloom=True, collect_metrics=False, compact_every=4,
+            ),
+            fetcher=make_synthetic_fetcher(n_urls, n_domains),
+        )
+        t0 = time.monotonic()
+        engine.run(max_rounds=epochs)
+        wall = time.monotonic() - t0
+        pops = store.read("completions").count()
+        return {
+            "urls": int(pops),
+            "wall_s": round(wall, 2),
+            "urls_per_s": round(pops / wall, 1),
+            "epochs": epochs,
+            "tokens_per_domain_per_epoch": tokens,
+            "frontier_size": n_urls,
+            "domains": n_domains,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    t_total = time.monotonic()
+
+    qtimes: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        qtimes = time_queries(spark, sf_dir)
+
+    crawl = crawl_throughput(
+        spark,
+        n_urls=int(os.environ.get("BENCH_CRAWL_URLS", "400000")),
+        n_domains=int(os.environ.get("BENCH_CRAWL_DOMAINS", "1500")),
+        tokens=int(os.environ.get("BENCH_CRAWL_TOKENS", "32")),
+        epochs=int(os.environ.get("BENCH_CRAWL_EPOCHS", "3")),
+    )
+    qtimes["crawl_epochs"] = crawl["wall_s"]
+
+    total = round(time.monotonic() - t_total, 2)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "frontier dequeue+fetch+merge throughput (URLs/s) "
+                "+ headline query suite",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": float(sf),
+                "crawl": crawl,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

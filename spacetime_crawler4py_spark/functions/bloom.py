@@ -80,7 +80,12 @@ class BloomFilter:
         numpy bitmaps OR-reduced — the one legitimately imperative
         per-partition step in the engine (SURVEY §7 'Bloom lifecycle')."""
         proto = cls.sized_for(n_items_hint, bits_per_key)
-        n_bits, k = proto.n_bits, proto.k
+        return cls.build_from_df_with_shape(df, column, proto.n_bits, proto.k)
+
+    @classmethod
+    def build_from_df_with_shape(cls, df, column: str, n_bits: int, k: int):
+        """Build an increment with a fixed shape (mergeable into an
+        existing filter without counting the input first)."""
 
         def build_part(rows):
             bf = cls(n_bits, k)

@@ -25,19 +25,26 @@ __all__ = ["politeness_heads", "DISCOVERY_ORDER"]
 DISCOVERY_ORDER = ["rk_round", "rk_pop", "rk_pos"]
 
 
+# columns the downstream fetch/parse stage needs; ranking shuffles only these
+HEAD_COLUMNS = ["url", "url_hash", "domain", "salt", *DISCOVERY_ORDER]
+
+
 def politeness_heads(pending: DataFrame, tokens: int, salted: bool = True) -> DataFrame:
     """Select the first ``tokens`` pending URLs per domain in FIFO order;
-    adds a ``slot`` column (1-based politeness round within this batch)."""
+    adds a ``slot`` column (1-based politeness round within this batch).
+    Projects to HEAD_COLUMNS first so the two window shuffles move only
+    what fetch needs (lineage columns like parent stay behind)."""
     order = [F.col(c).asc() for c in DISCOVERY_ORDER]
-    if salted and "salt" in pending.columns:
+    slim = pending.select(*[c for c in HEAD_COLUMNS if c in pending.columns])
+    if salted and "salt" in slim.columns:
         local = Window.partitionBy("domain", "salt").orderBy(*order)
         pre = (
-            pending.withColumn("_lrn", F.row_number().over(local))
+            slim.withColumn("_lrn", F.row_number().over(local))
             .where(F.col("_lrn") <= tokens)
             .drop("_lrn")
         )
     else:
-        pre = pending
+        pre = slim
     per_domain = Window.partitionBy("domain").orderBy(*order)
     return (
         pre.withColumn("slot", F.row_number().over(per_domain))

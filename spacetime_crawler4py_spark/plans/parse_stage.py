@@ -43,10 +43,20 @@ def _signed64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def make_parse_stage(robots: dict[str, list[str]] | None = None, minhash_perm: int = 64):
+def make_parse_stage(
+    robots: dict[str, list[str]] | None = None,
+    minhash_perm: int = 64,
+    fetcher=None,
+    compute_sketches: bool = True,
+):
     """Returns a mapInPandas function over rows with columns
     (url, url_hash, domain, slot, rk_round, rk_pop, rk_pos,
-    status, content_type, payload, final_url)."""
+    status, content_type, payload, final_url).
+
+    With ``fetcher`` set (url -> (status, content_type, payload, final_url))
+    the fetch happens *inside* the stage — the shape real HTTP fetching
+    takes on a cluster (per-domain-partitioned mapInPandas, politeness
+    pacing in-iterator) — and the input needs no fetch columns."""
     from ..oracle.pycrawler import robots_allows  # shared gate
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -70,8 +80,13 @@ def make_parse_stage(robots: dict[str, list[str]] | None = None, minhash_perm: i
                     "bands": None,
                     "outlinks": [],
                 }
-                status = row.status
-                payload = row.payload
+                if fetcher is not None:
+                    status, content_type, payload, final_url = fetcher(row.url)
+                else:
+                    status = row.status
+                    content_type = row.content_type
+                    payload = row.payload
+                    final_url = row.final_url
                 # content gates (reference scraper.py:200-216); a URL absent
                 # from the fetch oracle behaves like an error status
                 if status is None or int(status) != 200 or payload is None:
@@ -79,7 +94,7 @@ def make_parse_stage(robots: dict[str, list[str]] | None = None, minhash_perm: i
                     out.append(rec)
                     continue
                 payload = bytes(payload)
-                ctype = (row.content_type or "").lower()
+                ctype = (content_type or "").lower()
                 if "text/html" not in ctype:
                     rec["gate"] = "ctype"
                     out.append(rec)
@@ -93,7 +108,7 @@ def make_parse_stage(robots: dict[str, list[str]] | None = None, minhash_perm: i
                     out.append(rec)
                     continue
 
-                base = row.final_url or row.url
+                base = final_url or row.url
                 page = parse_page(payload, base_url=base)
                 if page.soft404:
                     rec["gate"] = "soft404"
@@ -116,14 +131,15 @@ def make_parse_stage(robots: dict[str, list[str]] | None = None, minhash_perm: i
                     }
                     for s in page.spans
                 ]
-                tokens = similarity_tokens(page.page_text)
-                rec["fps"] = sorted(
-                    _signed64(v) for v in shingle_fingerprints(tokens)
-                )
-                rec["bands"] = [
-                    _signed64(b)
-                    for b in minhash_bands(minhash_signature(tokens, minhash_perm))
-                ]
+                if compute_sketches:  # near-dup inputs (skipped when off)
+                    tokens = similarity_tokens(page.page_text)
+                    rec["fps"] = sorted(
+                        _signed64(v) for v in shingle_fingerprints(tokens)
+                    )
+                    rec["bands"] = [
+                        _signed64(b)
+                        for b in minhash_bands(minhash_signature(tokens, minhash_perm))
+                    ]
                 links = []
                 pos = 0
                 for link in page.outlinks:  # already defragged + page-deduped

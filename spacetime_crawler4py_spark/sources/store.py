@@ -107,3 +107,11 @@ class SnapshotStore:
             return self.read(name, version)
         except FileNotFoundError:
             return None
+
+    def read_last_delta(self, name: str) -> "DataFrame":
+        """The most recently committed path only (e.g. this epoch's new
+        rows) — a cheap read-back that avoids recomputing its lineage."""
+        manifest = self._load_manifest(name)
+        if not manifest["paths"]:
+            raise FileNotFoundError(f"table {name} is empty (no snapshot)")
+        return self.spark.read.parquet(manifest["paths"][-1])

@@ -82,6 +82,9 @@ class EngineConfig:
     salt_buckets: int = 8                  # skew salting (north_rule)
     robots: dict | None = None
     minhash_perm: int = 64
+    broadcast_web: bool = True             # False when the fetch oracle is big
+    collect_metrics: bool = True           # False skips optional count jobs
+    compact_every: int = 0                 # >0: compact state tables every N epochs
 
 
 class CrawlEngine:
@@ -91,18 +94,24 @@ class CrawlEngine:
         store: SnapshotStore,
         web_df: DataFrame | None,
         config: EngineConfig | None = None,
+        fetcher=None,
     ):
-        """``web_df`` is the synthetic fetch oracle
-        (url, status, final_url, content_type, payload, domain); in real
-        mode it is replaced by an HTTP mapInPandas fetcher (not exercised
-        in this sandbox)."""
+        """``web_df`` is the synthetic fetch-oracle table
+        (url, status, final_url, content_type, payload, domain), joined
+        before parse. Alternatively ``fetcher`` (url -> (status, ctype,
+        payload, final_url)) fetches *inside* the fused mapInPandas stage —
+        the shape real HTTP fetching takes on a cluster."""
         self.spark = spark
         self.store = store
         self.web_df = web_df
         self.cfg = config or EngineConfig()
         self._parse_stage = make_parse_stage(
-            robots=self.cfg.robots, minhash_perm=self.cfg.minhash_perm
+            robots=self.cfg.robots,
+            minhash_perm=self.cfg.minhash_perm,
+            fetcher=fetcher,
+            compute_sketches=self.cfg.neardup != "off",
         )
+        self._in_stage_fetch = fetcher is not None
         # in-memory mirrors rebuilt from snapshots on resume
         self._round = 0
         self._fps_index: list[tuple[str, frozenset]] = []  # exact near-dup
@@ -186,13 +195,19 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def _fetch_and_parse(self, dequeued: DataFrame) -> DataFrame:
         """dequeued columns: url, url_hash, domain, slot, rk_round, rk_pop,
-        rk_pos. Joins the fetch oracle, then the fused parse stage."""
+        rk_pos. Joins the fetch oracle (or fetches in-stage), then the
+        fused parse stage."""
+        slim = dequeued.select(
+            "url", "url_hash", "domain", "slot", "rk_round", "rk_pop", "rk_pos"
+        )
+        if self._in_stage_fetch:
+            return slim.mapInPandas(self._parse_stage, schema=PARSED_SCHEMA)
         web = self.web_df.select(
             "url", "status", "final_url", "content_type", "payload"
         )
-        joined = dequeued.select(
-            "url", "url_hash", "domain", "slot", "rk_round", "rk_pop", "rk_pos"
-        ).join(F.broadcast(web), "url", "left")
+        if self.cfg.broadcast_web:
+            web = F.broadcast(web)
+        joined = slim.join(web, "url", "left")
         return joined.mapInPandas(self._parse_stage, schema=PARSED_SCHEMA)
 
     def _append_round_outputs(
@@ -419,18 +434,20 @@ class CrawlEngine:
             .drop("_rn")
         )
         frontier_hashes = self.store.read("frontier").select("url_hash")
+        flagged = None
         if self._bloom is not None:
             state = self._bloom.to_state()
 
             def probe(s):
-                import pandas as pd  # noqa: F401
                 return BloomFilter.from_state(state).might_contain_series(s)
 
             from pyspark.sql.pandas.functions import pandas_udf
             from pyspark.sql.types import BooleanType
 
             probe_udf = pandas_udf(probe, returnType=BooleanType())
-            flagged = firsts.withColumn("_maybe", probe_udf("url_hash"))
+            # persist the probed firsts so the definitely-new / maybe-seen
+            # branches don't each recompute the candidate window + probe
+            flagged = firsts.withColumn("_maybe", probe_udf("url_hash")).persist()
             definitely_new = flagged.where(~F.col("_maybe")).drop("_maybe")
             maybe_seen = flagged.where(F.col("_maybe")).drop("_maybe")
             new_links = definitely_new.unionByName(
@@ -449,18 +466,17 @@ class CrawlEngine:
             F.col("pos").alias("rk_pos"),
             F.lit(base).alias("epoch_added"),
         )
-        n_new = new_rows.count()
+        n_new = new_rows.count() if self.cfg.collect_metrics else -1
         self.store.append("frontier", new_rows)
-        if self._bloom is not None and n_new:
-            inc = BloomFilter(self._bloom.n_bits, self._bloom.k)
-            inc = BloomFilter.build_from_df(new_rows, "url_hash", n_new)
-            # rebuild keeps sizing; merge only when shapes match
-            if inc.n_bits == self._bloom.n_bits:
-                self._bloom.merge_inplace(inc)
-            else:
-                self._bloom.add_many(
-                    r.url_hash for r in new_rows.select("url_hash").collect()
-                )
+        if self._bloom is not None:
+            # build a same-shaped increment from the just-committed delta
+            # (cheap parquet read-back — avoids recomputing the candidate
+            # pipeline a second time) and OR it into the live filter
+            delta = self.store.read_last_delta("frontier")
+            inc = BloomFilter.build_from_df_with_shape(
+                delta, "url_hash", self._bloom.n_bits, self._bloom.k
+            )
+            self._bloom.merge_inplace(inc)
 
         self.store.append(
             "completions",
@@ -475,12 +491,26 @@ class CrawlEngine:
             "checksum", (F.lit(base) + F.col("slot") - 1).alias("ord_round"),
             F.col("domain").alias("ord_pop"),
         )
-        doc_w = Window.partitionBy("doc_id").orderBy("ord_round", "ord_pop")
-        docs_first = (
-            docs.withColumn("_rn", F.row_number().over(doc_w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+        # doc_id collisions happen only via redirects; detect them on a slim
+        # projection (key-only shuffle) and window the heavy span rows only
+        # when collisions actually exist
+        dup_ids = (
+            docs.groupBy("doc_id").count().where(F.col("count") > 1)
+            .select("doc_id")
         )
+        if dup_ids.isEmpty():
+            docs_first = docs
+        else:
+            doc_w = Window.partitionBy("doc_id").orderBy("ord_round", "ord_pop")
+            dup_docs = docs.join(F.broadcast(dup_ids), "doc_id")
+            winners = (
+                dup_docs.withColumn("_rn", F.row_number().over(doc_w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            docs_first = docs.join(
+                F.broadcast(dup_ids), "doc_id", "left_anti"
+            ).unionByName(winners)
         near_df = self._flag_near_dups_lsh(docs_first)
         prior_docs = self.store.read_or_none("documents")
         to_save = near_df.where(~F.col("is_near_dup"))
@@ -492,12 +522,14 @@ class CrawlEngine:
             "doc_id", "domain", F.col("ord_round").alias("round"),
             "word_count", "spans",
         )
-        n_saved = saved_df.count()
+        collect = self.cfg.collect_metrics
+        n_saved = saved_df.count() if collect else -1
         self.store.append("documents", saved_df)
-        self.store.append(
-            "fingerprints",
-            docs_first.select("doc_id", "ord_round", "ord_pop", "fps", "bands"),
-        )
+        if self.cfg.neardup != "off":
+            self.store.append(
+                "fingerprints",
+                docs_first.select("doc_id", "ord_round", "ord_pop", "fps", "bands"),
+            )
         self.store.append(
             "fetch_log",
             parsed.select(
@@ -505,16 +537,18 @@ class CrawlEngine:
                 "url", "url_hash", "domain", "gate", "checksum", "doc_id",
             ),
         )
-        near_dups = near_df.where(F.col("is_near_dup")).count()
         stats = {
             "pops": pops,
-            "parsed_ok": ok.count(),
+            "parsed_ok": ok.count() if collect else -1,
             "new_urls": n_new,
             "docs_saved": n_saved,
-            "near_dups": near_dups,
+            "near_dups": near_df.where(F.col("is_near_dup")).count()
+            if (collect and self.cfg.neardup != "off") else 0,
             "exact_dups": 0,  # metric-only quirk; see exact mode
         }
         parsed.unpersist()
+        if flagged is not None:
+            flagged.unpersist()
         self._write_metrics(base, stats, time.monotonic() - t0)
         self._round = base + tokens
         return True
@@ -602,6 +636,12 @@ class CrawlEngine:
             if not progressed:
                 break
             rounds += 1
+            if self.cfg.compact_every and rounds % self.cfg.compact_every == 0:
+                # bound manifest fan-in for the append-heavy state tables
+                # (≙ Iceberg table compaction)
+                for table in ("frontier", "completions"):
+                    if self.store.exists(table):
+                        self.store.compact(table)
         return self.summary()
 
     def summary(self) -> dict:
