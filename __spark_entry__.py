@@ -198,8 +198,16 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via checksum groupBy (reference utils/similarity.py:57-66).
+    The testdata corpus has no byte-identical texts, so a deterministic
+    mirror copy (doc_id % 5 == 0, re-keyed +1000000) is unioned in first —
+    the dup groups the operator must find are then known a priori."""
+    docs = _t(spark, sf_dir, "documents")
+    mirrored = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
     return (
-        _t(spark, sf_dir, "documents")
+        docs.unionByName(mirrored)
         .groupBy(F.md5(F.col("text")).alias("checksum"))
         .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("canonical_id"))
         .where(F.col("dup_count") > 1)
@@ -289,18 +297,28 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)
         .where(F.col("id") < F.col("id2"))
         .withColumn("cos_bp", F.floor(cos * 10000).cast("long"))
-        .where(F.col("cos_bp") >= 8000)
+        .where(F.col("cos_bp") >= 3000)
         .select("id", "id2", "cos_bp")
     )
 
 
 def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    """The URL-seen dedup kernel (reference crawler/frontier.py:93-96):
+    discovered URLs left-anti-joined against the already-seen frontier on
+    url_hash. Seen set = docs with doc_id % 3 != 0, so exactly the
+    doc_id % 3 == 0 third must survive."""
+    urls = _synth_urls(spark, sf_dir)
+    discovered = urls.select(
+        "doc_id", "url", udf_url_hash(F.col("url")).alias("url_hash")
+    )
+    seen = (
+        urls.where(F.col("doc_id") % 3 != 0)
+        .select(udf_url_hash(F.col("url")).alias("url_hash"))
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey")
-        .orderBy("c_custkey")
+        discovered.join(seen, "url_hash", "left_anti")
+        .select("doc_id", "url")
+        .orderBy("doc_id")
     )
 
 
@@ -368,6 +386,102 @@ def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("url"), F.lit("#frag")).alias("raw")
     )
     return urls.select("doc_id", udf_canonicalize(F.col("raw")).alias("canon"))
+
+
+# (host, disallowed path prefix) — the north_star robots gate as data.
+ROBOTS_RULES = [
+    ("www.ics.uci.edu", "/wp-json"),
+    ("www.cs.uci.edu", "/events"),
+    ("www.informatics.uci.edu", "/list"),
+    ("www.stat.uci.edu", "/blog"),
+]
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain robots.txt gating (north_star addition; the reference
+    delegates robots to its cache server — see oracle/pycrawler.py
+    robots_allows). A URL passes unless some rule for its host is a path
+    prefix. Rules are a broadcast dim table; the probe is a native
+    exists() over the joined rule set — no Python in the hot path."""
+    urls = _synth_urls(spark, sf_dir)
+    parted = urls.select(
+        "doc_id", "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+    )
+    rules = spark.createDataFrame(ROBOTS_RULES, "host string, prefix string")
+    rules_agg = rules.groupBy("host").agg(
+        F.collect_list("prefix").alias("prefixes")
+    )
+    return (
+        parted.join(F.broadcast(rules_agg), "host", "left")
+        .select(
+            "doc_id", "url",
+            (~F.coalesce(
+                F.exists(
+                    "prefixes", lambda p: F.col("path").startswith(p)
+                ),
+                F.lit(False),
+            )).alias("allowed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference near-dup probe semantics (utils/similarity.py:76-92 +
+    scraper.py:240-246): each doc is compared against *previously processed*
+    docs only (processing order = doc_id here), flagged if any earlier doc
+    has shingle-Jaccard >= tau. tau lowered from the reference's 0.90 to
+    0.30 so the testdata corpus yields non-trivial flags."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("sh")
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = docs.select("doc_id", F.explode("sh").alias("g"))
+    earlier = ex.select(F.col("doc_id").alias("prev_id"), "g")
+    overlaps = (
+        ex.join(earlier, "g")
+        .where(F.col("prev_id") < F.col("doc_id"))
+        .groupBy("doc_id", "prev_id")
+        .agg(F.count("*").alias("common"))
+    )
+    scored = (
+        overlaps.join(sizes, "doc_id")
+        .join(
+            sizes.select(F.col("doc_id").alias("prev_id"), F.col("n_sh").alias("n_prev")),
+            "prev_id",
+        )
+        .where(
+            F.col("common") * 1000000
+            >= F.lit(300000) * (F.col("n_sh") + F.col("n_prev") - F.col("common"))
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    return (
+        docs.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("is_near_dup"), F.lit(False)).alias("is_near_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_subdomain_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subdomain report (reference analyze_crawl.py:193-201): count pages
+    per .uci.edu host, alphabetical."""
+    urls = _synth_urls(spark, sf_dir)
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return (
+        urls.select(host.alias("host"))
+        .where(F.col("host").endswith(".uci.edu"))
+        .groupBy("host")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("host")
+    )
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,6 +562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_seen_hash": q_url_seen_hash,
         "is_valid_filter": q_is_valid,
         "canonicalize": q_canonicalize,
+        "robots_gate": q_robots_gate,
+        "near_dup_flags": q_near_dup_flags,
+        "subdomain_histogram": q_subdomain_histogram,
         # joins/aggs health
         "revenue_rollup": q_revenue_rollup,
         "events_histogram": q_events_histogram,
@@ -517,9 +634,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "exact_dup_groups": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+            )
             SELECT md5(text) AS checksum, count(*) AS dup_count,
                    min(doc_id) AS canonical_id
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM u GROUP BY md5(text) HAVING count(*) > 1
         """,
         "ngram_jaccard_pairs": f"""
             WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents),
@@ -581,12 +703,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND floor(list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v))
-                       * sqrt(list_dot_product(b.v, b.v))) * 10000) >= 8000
+                       * sqrt(list_dot_product(b.v, b.v))) * 10000) >= 3000
         """,
-        "seen_anti_join": """
-            SELECT c_custkey FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-            ORDER BY c_custkey
+        "seen_anti_join": f"""
+            WITH u AS ({_SQL_SYNTH_URLS})
+            SELECT doc_id, url FROM u
+            WHERE NOT EXISTS (
+              SELECT 1 FROM u s WHERE s.doc_id % 3 != 0 AND s.url = u.url
+            )
+            ORDER BY doc_id
         """,
         "first_seen": """
             SELECT o_custkey, o_orderkey AS first_order, o_orderdate AS first_date
@@ -648,6 +773,71 @@ def oracle_sql() -> dict[str, str]:
                         THEN substr(url, 1, length(url) - 1)
                         ELSE url END AS canon
             FROM u
+        """,
+        "robots_gate": f"""
+            WITH u AS ({_SQL_SYNTH_URLS}),
+            parts AS (
+              SELECT doc_id, url,
+                CASE doc_id % 4 WHEN 0 THEN 'www.ics.uci.edu'
+                                WHEN 1 THEN 'www.cs.uci.edu'
+                                WHEN 2 THEN 'www.informatics.uci.edu'
+                                ELSE 'www.stat.uci.edu' END AS host,
+                CASE doc_id % 6 WHEN 0 THEN '/papers/p' || doc_id
+                                WHEN 1 THEN '/slides/deck.pdf'
+                                WHEN 2 THEN '/events/day/2024-01-15'
+                                WHEN 3 THEN '/blog/page/500/'
+                                WHEN 4 THEN '/list/l' || doc_id
+                                ELSE '/wp-json/v' || doc_id END AS path
+              FROM u
+            ),
+            r AS (
+              SELECT * FROM (VALUES
+                {", ".join(f"('{h}', '{p}')" for h, p in ROBOTS_RULES)}
+              ) AS t(host, prefix)
+            )
+            SELECT doc_id, url,
+                   NOT EXISTS (SELECT 1 FROM r
+                               WHERE r.host = parts.host
+                                 AND starts_with(parts.path, r.prefix))
+                   AS allowed
+            FROM parts ORDER BY doc_id
+        """,
+        "near_dup_flags": f"""
+            WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tokens) >= 3 THEN list_distinct(
+                       list_transform(generate_series(1, len(tokens) - 2),
+                         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                     ELSE [] END AS sh
+              FROM tok
+            ),
+            sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            flagged AS (
+              SELECT DISTINCT b.doc_id
+              FROM ex a JOIN ex b USING (g)
+              JOIN sizes s1 ON s1.doc_id = b.doc_id
+              JOIN sizes s2 ON s2.doc_id = a.doc_id
+              WHERE a.doc_id < b.doc_id
+              GROUP BY b.doc_id, a.doc_id, s1.n_sh, s2.n_sh
+              HAVING count(*) * 1000000 >= 300000 * (s1.n_sh + s2.n_sh - count(*))
+            )
+            SELECT d.doc_id, f.doc_id IS NOT NULL AS is_near_dup
+            FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+            ORDER BY d.doc_id
+        """,
+        "subdomain_histogram": """
+            WITH u AS (
+              SELECT CASE doc_id % 4 WHEN 0 THEN 'www.ics.uci.edu'
+                                     WHEN 1 THEN 'www.cs.uci.edu'
+                                     WHEN 2 THEN 'www.informatics.uci.edu'
+                                     ELSE 'www.stat.uci.edu' END AS host
+              FROM documents
+            )
+            SELECT host, count(*) AS cnt FROM u
+            WHERE ends_with(host, '.uci.edu')
+            GROUP BY host ORDER BY host
         """,
         "media_metadata": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
