@@ -27,10 +27,11 @@ from spacetime_crawler4py_spark.functions.validity import udf_is_valid
 from spacetime_crawler4py_spark.operators import multimodal
 from spacetime_crawler4py_spark.operators.dedup import (
     minhash_lsh_pairs,
-    shingles_col,
+    shingles_exploded,
     simhash_pairs,
 )
 from spacetime_crawler4py_spark.operators.similarity_search import (
+    blocked_pair_cos_bp,
     brute_force_topk,
     lsh_bucketed_topk,
 )
@@ -57,8 +58,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """The testdata parquet files are single-row-group → one input split →
+    one task. Spread compute-heavy inputs across the executor cores; real
+    100TB tables arrive in thousands of splits and never hit this."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", "text", "source",
         report_tokens_col(F.col("text")).alias("tokens"),
     )
@@ -215,14 +223,16 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", shingles_col(F.col("text"), 3).alias("sh")
-    )
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = docs.select("doc_id", F.explode("sh").alias("g"))
-    other = ex.select(F.col("doc_id").alias("doc_id2"), "g")
+    """Exact shingle-Jaccard pairs: tokenize-once lead-window shingles,
+    self-join on the 64-bit shingle hash (see dedup.shingles_exploded for
+    why no array HOFs)."""
+    ex = shingles_exploded(
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", 3
+    ).select(F.col("id").alias("doc_id"), F.xxhash64("g").alias("gh"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    other = ex.select(F.col("doc_id").alias("doc_id2"), "gh")
     overlaps = (
-        ex.join(other, "g")
+        ex.join(other, "gh")
         .where(F.col("doc_id") < F.col("doc_id2"))
         .groupBy("doc_id", "doc_id2")
         .agg(F.count("*").alias("common"))
@@ -289,17 +299,12 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _quantized_emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id"), F.col("v").alias("v1"))
-    b = emb.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
-    cos = _cos_expr(F.col("v1"), F.col("v2"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id") < F.col("id2"))
-        .withColumn("cos_bp", F.floor(cos * 10000).cast("long"))
-        .where(F.col("cos_bp") >= 3000)
-        .select("id", "id2", "cos_bp")
-    )
+    """Exact embedding near-dup pairs via the numpy block multiply
+    (similarity_search.blocked_pair_cos_bp); bit-identical to the per-pair
+    expression form because the quantized vectors make all dots/norms
+    exact in fp64."""
+    emb = _spread(_quantized_emb(spark, sf_dir))
+    return blocked_pair_cos_bp(emb, "vec_id", "v", min_cos_bp=3000)
 
 
 def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,14 +439,14 @@ def q_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs only (processing order = doc_id here), flagged if any earlier doc
     has shingle-Jaccard >= tau. tau lowered from the reference's 0.90 to
     0.30 so the testdata corpus yields non-trivial flags."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", shingles_col(F.col("text"), 3).alias("sh")
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ex = shingles_exploded(docs, "doc_id", "text", 3).select(
+        F.col("id").alias("doc_id"), F.xxhash64("g").alias("gh")
     )
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = docs.select("doc_id", F.explode("sh").alias("g"))
-    earlier = ex.select(F.col("doc_id").alias("prev_id"), "g")
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    earlier = ex.select(F.col("doc_id").alias("prev_id"), "gh")
     overlaps = (
-        ex.join(earlier, "g")
+        ex.join(earlier, "gh")
         .where(F.col("prev_id") < F.col("doc_id"))
         .groupBy("doc_id", "prev_id")
         .agg(F.count("*").alias("common"))
@@ -511,18 +516,18 @@ def q_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.3
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", threshold=0.3
     )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", max_hamming=8
     )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     probes = emb.where(F.col("vec_id") < 5)

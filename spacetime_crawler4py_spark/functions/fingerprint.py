@@ -16,6 +16,8 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
+
 __all__ = [
     "N_GRAM",
     "SAMPLE_MOD",
@@ -83,42 +85,49 @@ def _shingle_hashes_unsampled(tokens: list[str], n_gram: int = N_GRAM) -> list[i
     ]
 
 
-_MERSENNE_61 = (1 << 61) - 1
-
-
-def _minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for h'(x) = (a*x + b) mod p."""
-    params = []
+def _minhash_seeds(num_perm: int, seed: int = 42) -> np.ndarray:
+    """Deterministic per-permutation 64-bit mix constants (LCG stream)."""
+    out = np.empty(num_perm, dtype=np.uint64)
     state = seed
-    for _ in range(num_perm):
+    for i in range(num_perm):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        a = (state % (_MERSENNE_61 - 1)) + 1
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        b = state % _MERSENNE_61
-        params.append((a, b))
-    return params
+        out[i] = state | 1
+    return out
 
 
-_MINHASH_CACHE: dict[tuple[int, int], list[tuple[int, int]]] = {}
+_MINHASH_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a full-avalanche 64-bit bijection,
+    so min over {mix(h ^ seed_i)} is an independent MinHash per seed."""
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+        return x ^ (x >> np.uint64(31))
 
 
 def minhash_signature(
     tokens: list[str], num_perm: int = 64, n_gram: int = N_GRAM, seed: int = 42
 ) -> list[int]:
-    """MinHash signature over shingle hashes. Empty docs get all-zero
-    signatures (so two empty docs estimate similarity 1.0, mirroring the
-    reference's both-empty Jaccard convention)."""
+    """MinHash signature over shingle hashes: sig[i] = min over shingles of
+    splitmix64(h ^ seed_i), vectorized as an (n_shingles, num_perm) uint64
+    grid. Empty docs get all-zero signatures (so two empty docs estimate
+    similarity 1.0, mirroring the reference's both-empty Jaccard
+    convention). Values are reported masked to 63 bits so they survive
+    signed-long (Spark LongType) round-trips unchanged."""
     key = (num_perm, seed)
     if key not in _MINHASH_CACHE:
-        _MINHASH_CACHE[key] = _minhash_params(num_perm, seed)
-    params = _MINHASH_CACHE[key]
+        _MINHASH_CACHE[key] = _minhash_seeds(num_perm, seed)
+    seeds = _MINHASH_CACHE[key]
     hashes = _shingle_hashes_unsampled(tokens, n_gram)
     if not hashes:
         return [0] * num_perm
-    sig = []
-    for a, b in params:
-        sig.append(min((a * h + b) % _MERSENNE_61 for h in hashes))
-    return sig
+    h = np.asarray(hashes, dtype=np.uint64)
+    mixed = _splitmix64(h[:, None] ^ seeds[None, :])  # (n_sh, num_perm)
+    sig = mixed.min(axis=0) >> np.uint64(1)
+    return [int(v) for v in sig]
 
 
 def minhash_bands(signature: list[int], bands: int = 16) -> list[int]:
@@ -137,18 +146,17 @@ def minhash_bands(signature: list[int], bands: int = 16) -> list[int]:
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over unigram tokens (charikar sketch)."""
+    """64-bit SimHash over unigram tokens (charikar sketch). Bit counting is
+    vectorized: unpack each token hash to a (n_tokens, 64) bit grid, column
+    sums give the per-bit vote."""
     if not tokens:
         return 0
-    acc = [0] * 64
-    for t in tokens:
-        h = _hash64(t)
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
+    h = np.asarray([_hash64(t) for t in tokens], dtype=np.uint64)
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(tokens)  # (+1/-1 tally)
     out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
+    for bit in np.nonzero(votes > 0)[0]:
+        out |= 1 << int(bit)
     return out
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["politeness_heads", "DISCOVERY_ORDER"]
+__all__ = ["politeness_heads", "politeness_heads_watermarked", "DISCOVERY_ORDER"]
 
 # the deterministic per-domain FIFO key (SURVEY §2.6 'seq')
 DISCOVERY_ORDER = ["rk_round", "rk_pop", "rk_pos"]
@@ -49,4 +49,45 @@ def politeness_heads(pending: DataFrame, tokens: int, salted: bool = True) -> Da
     return (
         pre.withColumn("slot", F.row_number().over(per_domain))
         .where(F.col("slot") <= tokens)
+    )
+
+
+def politeness_heads_watermarked(
+    frontier: DataFrame,
+    watermarks: DataFrame | None,
+    tokens: int,
+    salted: bool = True,
+) -> DataFrame:
+    """Relaxed-mode dequeue without a completions anti-join.
+
+    Every insertion sorts after every row already served in its domain
+    (rk_round = the epoch it was added, monotone across epochs, and a row
+    can only be served in a *later* epoch than it was added), so the served
+    set is always a prefix of the per-domain FIFO. A tiny broadcast
+    ``(domain, served)`` watermark table therefore replaces the O(|frontier|
+    + |completions|) anti-join shuffle: offset the window rank and keep
+    ``served < rn <= served + tokens``, ``slot = rn - served``."""
+    order = [F.col(c).asc() for c in DISCOVERY_ORDER]
+    slim = frontier.select(*[c for c in HEAD_COLUMNS if c in frontier.columns])
+    if watermarks is not None:
+        slim = slim.join(F.broadcast(watermarks), "domain", "left")
+        slim = slim.withColumn(
+            "_served", F.coalesce(F.col("served"), F.lit(0))
+        ).drop("served")
+    else:
+        slim = slim.withColumn("_served", F.lit(0))
+    cap = F.col("_served") + tokens
+    if salted and "salt" in slim.columns:
+        local = Window.partitionBy("domain", "salt").orderBy(*order)
+        slim = (
+            slim.withColumn("_lrn", F.row_number().over(local))
+            .where(F.col("_lrn") <= cap)
+            .drop("_lrn")
+        )
+    per_domain = Window.partitionBy("domain").orderBy(*order)
+    return (
+        slim.withColumn("_rn", F.row_number().over(per_domain))
+        .where((F.col("_rn") > F.col("_served")) & (F.col("_rn") <= cap))
+        .withColumn("slot", (F.col("_rn") - F.col("_served")).cast("int"))
+        .drop("_rn", "_served")
     )

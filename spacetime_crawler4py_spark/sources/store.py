@@ -84,6 +84,22 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(delta_dir)
         return self._commit(name, cur["paths"] + [delta_dir])
 
+    def append_rows(self, name: str, rows: list[dict], arrow_schema) -> int:
+        """Driver-side append of a small row batch via pyarrow — same commit
+        protocol, no Spark job (a per-epoch metrics row or an exact-parity
+        round's collected outputs doesn't warrant cluster scheduling). The
+        arrow schema must mirror the table's Spark DDL exactly so mixed
+        delta dirs read back under one schema."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cur = self._load_manifest(name)
+        delta_dir = os.path.join(self._tdir(name), f"delta-{cur['version'] + 1:06d}")
+        os.makedirs(delta_dir, exist_ok=True)
+        table = pa.Table.from_pylist(rows, schema=arrow_schema)
+        pq.write_table(table, os.path.join(delta_dir, "part-00000.parquet"))
+        return self._commit(name, cur["paths"] + [delta_dir])
+
     def compact(self, name: str, df: "DataFrame | None" = None) -> int:
         """Rewrite the table as one base dir. With df=None, compacts the
         current contents (must be materialized before the manifest swap,

@@ -43,7 +43,11 @@ from pyspark.sql import functions as F
 from ..functions import urlkit
 from ..functions.bloom import BloomFilter
 from ..functions.fingerprint import NEAR_DUP_TAU, jaccard
-from ..plans.dequeue import DISCOVERY_ORDER, politeness_heads
+from ..plans.dequeue import (
+    DISCOVERY_ORDER,
+    politeness_heads,
+    politeness_heads_watermarked,
+)
 from ..plans.parse_stage import PARSED_SCHEMA, make_parse_stage
 from ..sources.store import SnapshotStore
 
@@ -54,6 +58,8 @@ FRONTIER_SCHEMA = (
     "rk_round bigint, rk_pop string, rk_pos int, epoch_added bigint"
 )
 COMPLETIONS_SCHEMA = "url_hash string, round bigint"
+SEEN_SCHEMA = "url_hash string"
+WATERMARKS_SCHEMA = "domain string, served bigint"
 DOCUMENTS_SCHEMA = (
     "doc_id string, domain string, round bigint, word_count int, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
@@ -70,6 +76,54 @@ METRICS_SCHEMA = (
     "round bigint, pops bigint, parsed_ok bigint, new_urls bigint, "
     "docs_saved bigint, near_dups bigint, exact_dups bigint, wall_s double"
 )
+
+
+def _arrow_schemas():
+    """pyarrow twins of the DDL schemas above (driver-side small appends)."""
+    import pyarrow as pa
+
+    span = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    return {
+        "frontier": pa.schema(
+            [("url_hash", pa.string()), ("url", pa.string()),
+             ("domain", pa.string()), ("salt", pa.int32()),
+             ("parent", pa.string()), ("rk_round", pa.int64()),
+             ("rk_pop", pa.string()), ("rk_pos", pa.int32()),
+             ("epoch_added", pa.int64())]
+        ),
+        "seen": pa.schema([("url_hash", pa.string())]),
+        "completions": pa.schema(
+            [("url_hash", pa.string()), ("round", pa.int64())]
+        ),
+        "documents": pa.schema(
+            [("doc_id", pa.string()), ("domain", pa.string()),
+             ("round", pa.int64()), ("word_count", pa.int32()),
+             ("spans", pa.list_(span))]
+        ),
+        "fingerprints": pa.schema(
+            [("doc_id", pa.string()), ("ord_round", pa.int64()),
+             ("ord_pop", pa.string()), ("fps", pa.list_(pa.int64())),
+             ("bands", pa.list_(pa.int64()))]
+        ),
+        "fetch_log": pa.schema(
+            [("round", pa.int64()), ("url", pa.string()),
+             ("url_hash", pa.string()), ("domain", pa.string()),
+             ("gate", pa.string()), ("checksum", pa.string()),
+             ("doc_id", pa.string())]
+        ),
+        "metrics": pa.schema(
+            [("round", pa.int64()), ("pops", pa.int64()),
+             ("parsed_ok", pa.int64()), ("new_urls", pa.int64()),
+             ("docs_saved", pa.int64()), ("near_dups", pa.int64()),
+             ("exact_dups", pa.int64()), ("wall_s", pa.float64())]
+        ),
+    }
+
+
+ARROW_SCHEMAS = _arrow_schemas()
 
 
 @dataclass
@@ -147,12 +201,21 @@ class CrawlEngine:
                 for r in log.select("checksum").where("checksum is not null")
                 .distinct().collect()
             }
-        if self.cfg.use_bloom:
+        # the all-time URL-seen set lives in its own narrow hash-only table
+        # (anti-join probe side + bloom source); the frontier table keeps the
+        # full rows and — in relaxed mode — may drop its served prefix at
+        # compaction. Stores seeded externally (bench) start without it:
+        # materialize it from the frontier once, outside the epoch loop.
+        if not self.store.exists("seen"):
             frontier = self.store.read_or_none("frontier")
             if frontier is not None:
-                n = frontier.count()
+                self.store.append("seen", frontier.select("url_hash"))
+        if self.cfg.use_bloom:
+            seen = self.store.read_or_none("seen")
+            if seen is not None:
+                n = seen.count()
                 self._bloom = BloomFilter.build_from_df(
-                    frontier, "url_hash", max(n, 1024)
+                    seen, "url_hash", max(n, 1024)
                 )
             else:
                 self._bloom = BloomFilter.sized_for(1 << 16)
@@ -172,11 +235,23 @@ class CrawlEngine:
                 (h, url, urlkit.politeness_host(url), self._salt_of(url), None,
                  -1, "", i, -1)
             )
-        df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
-        existing = self.store.read_or_none("frontier")
+        existing = self.store.read_or_none("seen")
         if existing is not None:
+            df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
             df = df.join(existing.select("url_hash"), "url_hash", "left_anti")
-        self.store.append("frontier", df)
+            self.store.append("frontier", df)
+            self.store.append(
+                "seen", self.store.read_last_delta("frontier").select("url_hash")
+            )
+        else:
+            names = [f.name for f in ARROW_SCHEMAS["frontier"]]
+            self.store.append_rows(
+                "frontier", [dict(zip(names, r)) for r in rows],
+                ARROW_SCHEMAS["frontier"],
+            )
+            self.store.append_rows(
+                "seen", [{"url_hash": r[0]} for r in rows], ARROW_SCHEMAS["seen"]
+            )
         if self._bloom is not None:
             self._bloom.add_many(r[0] for r in rows)
 
@@ -255,31 +330,38 @@ class CrawlEngine:
                 (r.doc_id, r.domain, round_no, r.word_count,
                  [s.asDict() for s in (r.spans or [])])
             )
+        def _dicts(schema_name: str, tuples: list[tuple]) -> list[dict]:
+            names = [f.name for f in ARROW_SCHEMAS[schema_name]]
+            return [dict(zip(names, t)) for t in tuples]
+
         if new_frontier_rows:
-            self.store.append(
-                "frontier",
-                self.spark.createDataFrame(new_frontier_rows, FRONTIER_SCHEMA),
+            self.store.append_rows(
+                "frontier", _dicts("frontier", new_frontier_rows),
+                ARROW_SCHEMAS["frontier"],
+            )
+            self.store.append_rows(
+                "seen", [{"url_hash": r[0]} for r in new_frontier_rows],
+                ARROW_SCHEMAS["seen"],
             )
             if self._bloom is not None:
                 self._bloom.add_many(row[0] for row in new_frontier_rows)
-        self.store.append(
+        self.store.append_rows(
             "completions",
-            self.spark.createDataFrame(
-                [(by_url[u].url_hash, round_no) for _, u in pop_order],
-                COMPLETIONS_SCHEMA,
-            ),
+            [{"url_hash": by_url[u].url_hash, "round": round_no} for _, u in pop_order],
+            ARROW_SCHEMAS["completions"],
         )
         if docs_rows:
-            self.store.append(
-                "documents", self.spark.createDataFrame(docs_rows, DOCUMENTS_SCHEMA)
+            self.store.append_rows(
+                "documents", _dicts("documents", docs_rows),
+                ARROW_SCHEMAS["documents"],
             )
         if fps_rows:
-            self.store.append(
-                "fingerprints",
-                self.spark.createDataFrame(fps_rows, FINGERPRINTS_SCHEMA),
+            self.store.append_rows(
+                "fingerprints", _dicts("fingerprints", fps_rows),
+                ARROW_SCHEMAS["fingerprints"],
             )
-        self.store.append(
-            "fetch_log", self.spark.createDataFrame(log_rows, FETCHLOG_SCHEMA)
+        self.store.append_rows(
+            "fetch_log", _dicts("fetch_log", log_rows), ARROW_SCHEMAS["fetch_log"]
         )
         return {
             "pops": len(pop_order),
@@ -329,7 +411,7 @@ class CrawlEngine:
                 cand_df = self.spark.createDataFrame(
                     [(h,) for h in cand_hashes], "url_hash string"
                 )
-                frontier_hashes = self.store.read("frontier").select("url_hash")
+                frontier_hashes = self.store.read("seen")
                 fresh = {
                     r.url_hash
                     for r in cand_df.join(
@@ -399,8 +481,12 @@ class CrawlEngine:
         t0 = time.monotonic()
         base = self._round
         tokens = self.cfg.rounds_per_epoch
-        pending = self._pending_df()
-        dequeued = politeness_heads(pending, tokens, salted=True)
+        dequeued = politeness_heads_watermarked(
+            self.store.read("frontier"),
+            self.store.read_or_none("watermarks"),
+            tokens,
+            salted=True,
+        )
         parsed = self._fetch_and_parse(dequeued)
         parsed.persist()
         pops = parsed.count()
@@ -433,7 +519,7 @@ class CrawlEngine:
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        frontier_hashes = self.store.read("frontier").select("url_hash")
+        frontier_hashes = self.store.read("seen")
         flagged = None
         if self._bloom is not None:
             state = self._bloom.to_state()
@@ -468,11 +554,12 @@ class CrawlEngine:
         )
         n_new = new_rows.count() if self.cfg.collect_metrics else -1
         self.store.append("frontier", new_rows)
+        # the committed delta read-back is the cheap source for both the
+        # seen-table append and the bloom increment (avoids recomputing the
+        # candidate pipeline)
+        delta = self.store.read_last_delta("frontier")
+        self.store.append("seen", delta.select("url_hash"))
         if self._bloom is not None:
-            # build a same-shaped increment from the just-committed delta
-            # (cheap parquet read-back — avoids recomputing the candidate
-            # pipeline a second time) and OR it into the live filter
-            delta = self.store.read_last_delta("frontier")
             inc = BloomFilter.build_from_df_with_shape(
                 delta, "url_hash", self._bloom.n_bits, self._bloom.k
             )
@@ -546,6 +633,31 @@ class CrawlEngine:
             if (collect and self.cfg.neardup != "off") else 0,
             "exact_dups": 0,  # metric-only quirk; see exact mode
         }
+        # advance the per-domain served watermarks last: a crash earlier in
+        # the epoch leaves them untouched, so resume replays the whole epoch
+        # (at-least-once fetch; frontier/documents appends stay deduplicated
+        # by the seen anti-join and the prior-docs anti-join)
+        served_counts = parsed.groupBy("domain").agg(
+            F.count("*").alias("_add")
+        )
+        old_wm = self.store.read_or_none("watermarks")
+        if old_wm is None:
+            new_wm = served_counts.select(
+                "domain", F.col("_add").cast("long").alias("served")
+            )
+        else:
+            new_wm = (
+                old_wm.join(served_counts, "domain", "full_outer")
+                .select(
+                    "domain",
+                    (
+                        F.coalesce(F.col("served"), F.lit(0))
+                        + F.coalesce(F.col("_add"), F.lit(0))
+                    ).cast("long").alias("served"),
+                )
+            )
+        self.store.compact("watermarks", new_wm)
+
         parsed.unpersist()
         if flagged is not None:
             flagged.unpersist()
@@ -613,16 +725,16 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _write_metrics(self, round_no: int, stats: dict, wall_s: float) -> None:
-        self.store.append(
+        self.store.append_rows(
             "metrics",
-            self.spark.createDataFrame(
-                [(
-                    round_no, stats["pops"], stats["parsed_ok"],
-                    stats["new_urls"], stats["docs_saved"],
-                    stats["near_dups"], stats["exact_dups"], wall_s,
-                )],
-                METRICS_SCHEMA,
-            ),
+            [{
+                "round": round_no, "pops": stats["pops"],
+                "parsed_ok": stats["parsed_ok"], "new_urls": stats["new_urls"],
+                "docs_saved": stats["docs_saved"],
+                "near_dups": stats["near_dups"],
+                "exact_dups": stats["exact_dups"], "wall_s": wall_s,
+            }],
+            ARROW_SCHEMAS["metrics"],
         )
 
     def run(self, max_rounds: int | None = None) -> dict:
@@ -639,18 +751,49 @@ class CrawlEngine:
             if self.cfg.compact_every and rounds % self.cfg.compact_every == 0:
                 # bound manifest fan-in for the append-heavy state tables
                 # (≙ Iceberg table compaction)
-                for table in ("frontier", "completions"):
+                if self.cfg.ordering == "relaxed":
+                    self._compact_frontier_drop_served()
+                    tables = ("seen", "completions")
+                else:
+                    tables = ("frontier", "seen", "completions")
+                for table in tables:
                     if self.store.exists(table):
                         self.store.compact(table)
         return self.summary()
 
+    def _compact_frontier_drop_served(self) -> None:
+        """Relaxed-mode frontier compaction: rewrite the table without its
+        served prefix and rebase the watermarks to 0, so the dequeue window
+        never rescans completed rows (the seen table, not the frontier,
+        carries the all-time URL-seen membership). In production Iceberg
+        both rewrites commit in one multi-table transaction; here they are
+        two sequential manifest swaps."""
+        wm = self.store.read_or_none("watermarks")
+        if wm is None or not self.store.exists("frontier"):
+            if self.store.exists("frontier"):
+                self.store.compact("frontier")
+            return
+        frontier = self.store.read("frontier")
+        order = [F.col(c).asc() for c in DISCOVERY_ORDER]
+        w = Window.partitionBy("domain").orderBy(*order)
+        remaining = (
+            frontier.join(F.broadcast(wm), "domain", "left")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > F.coalesce(F.col("served"), F.lit(0)))
+            .drop("_rn", "served")
+        )
+        self.store.compact("frontier", remaining)
+        self.store.compact(
+            "watermarks", wm.select("domain", F.lit(0).cast("long").alias("served"))
+        )
+
     def summary(self) -> dict:
-        frontier = self.store.read_or_none("frontier")
+        seen = self.store.read_or_none("seen")
         docs = self.store.read_or_none("documents")
         comp = self.store.read_or_none("completions")
         return {
             "rounds": self._round,
-            "urls_seen": frontier.count() if frontier is not None else 0,
+            "urls_seen": seen.count() if seen is not None else 0,
             "urls_done": comp.select("url_hash").distinct().count()
             if comp is not None else 0,
             "docs_saved": docs.count() if docs is not None else 0,
