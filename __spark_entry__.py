@@ -367,6 +367,44 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the batch twin of the Structured
+    Streaming windowed agg): hourly counts + exact integer value sums
+    (floor(value*1000) per event, so the cross-engine sum is
+    order-independent)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.unix_timestamp(
+                F.window("ts", "1 hour").getField("start")
+            ).alias("hour_unix"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1000)).cast("long").alias("value_milli"),
+        )
+        .orderBy("hour_unix", "event_type")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session) as a
+    pure window plan: lag → gap flag → running sum = session ordinal."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_sec = F.col("ts").cast("timestamp").cast("long")  # NTZ -> UTC epoch
+    gap = ts_sec - F.lag(ts_sec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        events.withColumn("_new", new_sess)
+        .withColumn("session_id", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
 def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
@@ -573,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joins/aggs health
         "revenue_rollup": q_revenue_rollup,
         "events_histogram": q_events_histogram,
+        "event_windows": q_event_windows,
+        "sessionize": q_sessionize,
         # multimodal plumbing
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
@@ -747,6 +787,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS cnt FROM events "
             "GROUP BY event_type ORDER BY event_type"
         ),
+        "event_windows": """
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                     AS hour_unix,
+                   event_type, count(*) AS cnt,
+                   CAST(sum(floor(value * 1000)) AS BIGINT) AS value_milli
+            FROM events
+            GROUP BY 1, 2 ORDER BY hour_unix, event_type
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM g
+        """,
         "url_seen_hash": f"""
             WITH u AS ({_SQL_SYNTH_URLS})
             SELECT doc_id, url,
