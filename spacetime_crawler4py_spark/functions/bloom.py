@@ -25,7 +25,7 @@ import math
 import numpy as np
 import pandas as pd
 
-__all__ = ["BloomFilter"]
+__all__ = ["BloomFilter", "PartitionedBloom"]
 
 
 class BloomFilter:
@@ -108,3 +108,111 @@ class BloomFilter:
         bf = cls(n_bits, k)
         bf.bits = np.frombuffer(raw, dtype=np.uint8).copy()
         return bf
+
+
+def _bucket_of(hex_hashes: pd.Series, n_buckets: int) -> np.ndarray:
+    """Bucket routing key: top 64 bits of the sha256 digest mod n_buckets —
+    the same slice BloomFilter uses for h1, so routing needs no extra
+    hashing and aligns with pmod-style frontier hash-bucketing."""
+    h1 = np.array([int(h[:16], 16) for h in hex_hashes], dtype=np.uint64)
+    return (h1 % np.uint64(n_buckets)).astype(np.int64)
+
+
+class PartitionedBloom:
+    """The 10^10-scale seen-filter layout (SURVEY §7): one BloomFilter per
+    hash-bucket instead of a single ~12 GB monolith. On a cluster each
+    executor holds/probes only the buckets co-located with its frontier
+    partitions; locally the dict of slices behaves exactly like one big
+    filter with k-probe semantics per slice."""
+
+    def __init__(self, filters: dict[int, BloomFilter], n_buckets: int):
+        self.filters = filters
+        self.n_buckets = n_buckets
+
+    @classmethod
+    def sized_for(
+        cls, n_items: int, n_buckets: int, bits_per_key: int = 12
+    ) -> "PartitionedBloom":
+        per = max(1024, n_items // max(n_buckets, 1))
+        return cls(
+            {b: BloomFilter.sized_for(per, bits_per_key) for b in range(n_buckets)},
+            n_buckets,
+        )
+
+    def add_many(self, hex_hashes) -> None:
+        s = pd.Series(list(hex_hashes), dtype=object)
+        if s.empty:
+            return
+        buckets = _bucket_of(s, self.n_buckets)
+        for b in np.unique(buckets):
+            self.filters[int(b)].add_many(s[buckets == b])
+
+    def might_contain_series(self, hex_hashes: pd.Series) -> pd.Series:
+        if hex_hashes.empty:
+            return pd.Series([], dtype=bool)
+        buckets = _bucket_of(hex_hashes, self.n_buckets)
+        out = np.zeros(len(hex_hashes), dtype=bool)
+        for b in np.unique(buckets):
+            mask = buckets == b
+            out[mask] = self.filters[int(b)].might_contain_series(
+                hex_hashes[mask]
+            ).to_numpy()
+        return pd.Series(out, index=hex_hashes.index)
+
+    def merge_inplace(self, other: "PartitionedBloom") -> None:
+        assert other.n_buckets == self.n_buckets
+        for b, f in other.filters.items():
+            self.filters[b].merge_inplace(f)
+
+    @classmethod
+    def build_partitioned(
+        cls,
+        df,
+        column: str,
+        n_buckets: int,
+        n_items_hint: int,
+        bits_per_key: int = 12,
+    ) -> "PartitionedBloom":
+        """Distributed build: per-partition (bucket -> bitmap) dicts,
+        OR-reduced pairwise — each task only materializes slices for the
+        buckets it actually saw."""
+        proto = cls.sized_for(n_items_hint, n_buckets, bits_per_key)
+        shapes = {b: (f.n_bits, f.k) for b, f in proto.filters.items()}
+
+        def build_part(rows):
+            local: dict[int, BloomFilter] = {}
+            s = pd.Series([r[0] for r in rows], dtype=object)
+            if s.empty:
+                yield {}
+                return
+            buckets = _bucket_of(s, n_buckets)
+            for b in np.unique(buckets):
+                n_bits, k = shapes[int(b)]
+                bf = BloomFilter(n_bits, k)
+                bf.add_many(s[buckets == b])
+                local[int(b)] = bf
+            yield {b: f.bits for b, f in local.items()}
+
+        def merge(a: dict, b: dict) -> dict:
+            for key, bits in b.items():
+                if key in a:
+                    a[key] = np.bitwise_or(a[key], bits)
+                else:
+                    a[key] = bits
+            return a
+
+        merged = df.select(column).rdd.mapPartitions(build_part).treeReduce(merge)
+        out = cls.sized_for(n_items_hint, n_buckets, bits_per_key)
+        for b, bits in merged.items():
+            out.filters[b].bits = bits.copy()
+        return out
+
+    def to_state(self) -> tuple[int, dict[int, tuple[int, int, bytes]]]:
+        return (self.n_buckets, {b: f.to_state() for b, f in self.filters.items()})
+
+    @classmethod
+    def from_state(cls, state) -> "PartitionedBloom":
+        n_buckets, filt = state
+        return cls(
+            {b: BloomFilter.from_state(s) for b, s in filt.items()}, n_buckets
+        )

@@ -35,8 +35,8 @@ def _dom_of(i: int, n_domains: int, hot_pct: int) -> int:
     return (i * _KNUTH) % (n_domains - 1) + 1
 
 
-def _words_of(i: int) -> str:
-    return " ".join(f"tok{j}x{(i * (2 * j + 3)) % 99991}" for j in range(24))
+def _words_of(i: int, n_words: int = 120) -> str:
+    return " ".join(f"tok{j}x{(i * (2 * j + 3)) % 99991}" for j in range(n_words))
 
 
 def _links_of(i: int, n_urls: int, n_domains: int, hot_pct: int, out_degree: int):
@@ -47,7 +47,10 @@ def _links_of(i: int, n_urls: int, n_domains: int, hot_pct: int, out_degree: int
     return out
 
 
-def _render_page(i: int, n_urls: int, n_domains: int, hot_pct: int, out_degree: int) -> bytes:
+def _render_page(
+    i: int, n_urls: int, n_domains: int, hot_pct: int, out_degree: int,
+    n_words: int = 120,
+) -> bytes:
     anchors = "".join(
         f'<a href="https://d{d}.ics.uci.edu/p/{t}">link {k}</a>'
         for k, (t, d) in enumerate(
@@ -56,7 +59,7 @@ def _render_page(i: int, n_urls: int, n_domains: int, hot_pct: int, out_degree: 
     )
     return (
         "<html><head><title>Synthetic</title></head><body><p>"
-        + _words_of(i)
+        + _words_of(i, n_words)
         + "</p>"
         + anchors
         + "</body></html>"
@@ -64,7 +67,8 @@ def _render_page(i: int, n_urls: int, n_domains: int, hot_pct: int, out_degree: 
 
 
 def make_synthetic_fetcher(
-    n_urls: int, n_domains: int = 1000, hot_fraction: float = 0.25, out_degree: int = 2
+    n_urls: int, n_domains: int = 1000, hot_fraction: float = 0.25,
+    out_degree: int = 8, n_words: int = 120,
 ):
     """In-stage fetcher for benchmarking: renders the same page the
     synthetic web table serves, directly inside the fused fetch+parse
@@ -77,7 +81,7 @@ def make_synthetic_fetcher(
         return (
             200,
             "text/html; charset=utf-8",
-            _render_page(i, n_urls, n_domains, hot_pct, out_degree),
+            _render_page(i, n_urls, n_domains, hot_pct, out_degree, n_words),
             url,
         )
 
@@ -89,7 +93,8 @@ def synthetic_crawl_inputs(
     n_urls: int,
     n_domains: int = 1000,
     hot_fraction: float = 0.25,
-    out_degree: int = 2,
+    out_degree: int = 8,
+    n_words: int = 120,
     salt_buckets: int = 8,
     seed_fraction: float = 1.0,
 ) -> tuple[DataFrame, DataFrame]:
@@ -132,7 +137,7 @@ def synthetic_crawl_inputs(
         " ",
         *[
             F.concat(F.lit(f"tok{j}x"), F.pmod(F.col("id") * (2 * j + 3), F.lit(99991)))
-            for j in range(24)
+            for j in range(n_words)
         ],
     )
     link_targets = [
