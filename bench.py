@@ -98,6 +98,7 @@ def crawl_throughput(
             EngineConfig(
                 ordering="relaxed", rounds_per_epoch=tokens, neardup="off",
                 use_bloom=True, collect_metrics=False, compact_every=4,
+                dedup_doc_ids=False,  # synthetic fetcher never redirects
             ),
             fetcher=make_synthetic_fetcher(n_urls, n_domains),
         )

@@ -100,6 +100,21 @@ class SnapshotStore:
         pq.write_table(table, os.path.join(delta_dir, "part-00000.parquet"))
         return self._commit(name, cur["paths"] + [delta_dir])
 
+    def overwrite_rows(self, name: str, rows: list[dict], arrow_schema) -> int:
+        """Driver-side full-snapshot replace for small state tables (e.g.
+        per-domain watermarks): writes one new base via pyarrow and commits
+        a manifest referencing only it — compact() semantics, no Spark job."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base_dir = os.path.join(
+            self._tdir(name), f"base-{self.current_version(name) + 1:06d}"
+        )
+        os.makedirs(base_dir, exist_ok=True)
+        table = pa.Table.from_pylist(rows, schema=arrow_schema)
+        pq.write_table(table, os.path.join(base_dir, "part-00000.parquet"))
+        return self._commit(name, [base_dir])
+
     def compact(self, name: str, df: "DataFrame | None" = None) -> int:
         """Rewrite the table as one base dir. With df=None, compacts the
         current contents (must be materialized before the manifest swap,

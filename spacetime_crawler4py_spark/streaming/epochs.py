@@ -114,6 +114,9 @@ def _arrow_schemas():
              ("gate", pa.string()), ("checksum", pa.string()),
              ("doc_id", pa.string())]
         ),
+        "watermarks": pa.schema(
+            [("domain", pa.string()), ("served", pa.int64())]
+        ),
         "metrics": pa.schema(
             [("round", pa.int64()), ("pops", pa.int64()),
              ("parsed_ok", pa.int64()), ("new_urls", pa.int64()),
@@ -139,6 +142,9 @@ class EngineConfig:
     broadcast_web: bool = True             # False when the fetch oracle is big
     collect_metrics: bool = True           # False skips optional count jobs
     compact_every: int = 0                 # >0: compact state tables every N epochs
+    dedup_doc_ids: bool = True             # False when the fetcher can't redirect
+                                           # (doc_id collisions impossible) —
+                                           # skips one per-epoch probe job
 
 
 class CrawlEngine:
@@ -172,6 +178,9 @@ class CrawlEngine:
         self._saved_doc_ids: set[str] = set()
         self._checksums: set[str] = set()
         self._bloom: BloomFilter | None = None
+        # relaxed-mode per-domain served watermarks: held on the driver (one
+        # int per domain), snapshotted to the watermarks table per epoch
+        self._watermarks: dict[str, int] = {}
         self._resume()
 
     # ------------------------------------------------------------------
@@ -182,6 +191,9 @@ class CrawlEngine:
         if comp is not None:
             row = comp.agg(F.max("round").alias("m")).collect()[0]
             self._round = int(row.m) + 1 if row.m is not None else 0
+        wm = self.store.read_or_none("watermarks")
+        if wm is not None:
+            self._watermarks = {r.domain: int(r.served) for r in wm.collect()}
         if self.cfg.neardup == "exact":
             fps_df = self.store.read_or_none("fingerprints")
             if fps_df is not None:
@@ -481,15 +493,22 @@ class CrawlEngine:
         t0 = time.monotonic()
         base = self._round
         tokens = self.cfg.rounds_per_epoch
+        wm_df = None
+        if self._watermarks:
+            wm_df = self.spark.createDataFrame(
+                list(self._watermarks.items()), WATERMARKS_SCHEMA
+            )
         dequeued = politeness_heads_watermarked(
-            self.store.read("frontier"),
-            self.store.read_or_none("watermarks"),
-            tokens,
-            salted=True,
+            self.store.read("frontier"), wm_df, tokens, salted=True
         )
         parsed = self._fetch_and_parse(dequeued)
         parsed.persist()
-        pops = parsed.count()
+        # one job materializes the fetch+parse AND yields both the pop count
+        # and the per-domain served counts for the watermark advance
+        domain_counts = parsed.groupBy("domain").agg(
+            F.count("*").alias("_add")
+        ).collect()
+        pops = sum(r._add for r in domain_counts)
         if pops == 0:
             parsed.unpersist()
             return False
@@ -584,8 +603,8 @@ class CrawlEngine:
         dup_ids = (
             docs.groupBy("doc_id").count().where(F.col("count") > 1)
             .select("doc_id")
-        )
-        if dup_ids.isEmpty():
+        ) if self.cfg.dedup_doc_ids else None
+        if dup_ids is None or dup_ids.isEmpty():
             docs_first = docs
         else:
             doc_w = Window.partitionBy("doc_id").orderBy("ord_round", "ord_pop")
@@ -634,29 +653,18 @@ class CrawlEngine:
             "exact_dups": 0,  # metric-only quirk; see exact mode
         }
         # advance the per-domain served watermarks last: a crash earlier in
-        # the epoch leaves them untouched, so resume replays the whole epoch
-        # (at-least-once fetch; frontier/documents appends stay deduplicated
-        # by the seen anti-join and the prior-docs anti-join)
-        served_counts = parsed.groupBy("domain").agg(
-            F.count("*").alias("_add")
+        # the epoch leaves the persisted snapshot untouched, so resume
+        # replays the whole epoch (at-least-once fetch; frontier/documents
+        # appends stay deduplicated by the seen anti-join and the prior-docs
+        # anti-join). Counts came from the pops job; the snapshot write is a
+        # driver-side pyarrow commit — no extra Spark jobs.
+        for r in domain_counts:
+            self._watermarks[r.domain] = self._watermarks.get(r.domain, 0) + int(r._add)
+        self.store.overwrite_rows(
+            "watermarks",
+            [{"domain": d, "served": s} for d, s in self._watermarks.items()],
+            ARROW_SCHEMAS["watermarks"],
         )
-        old_wm = self.store.read_or_none("watermarks")
-        if old_wm is None:
-            new_wm = served_counts.select(
-                "domain", F.col("_add").cast("long").alias("served")
-            )
-        else:
-            new_wm = (
-                old_wm.join(served_counts, "domain", "full_outer")
-                .select(
-                    "domain",
-                    (
-                        F.coalesce(F.col("served"), F.lit(0))
-                        + F.coalesce(F.col("_add"), F.lit(0))
-                    ).cast("long").alias("served"),
-                )
-            )
-        self.store.compact("watermarks", new_wm)
 
         parsed.unpersist()
         if flagged is not None:
@@ -768,11 +776,13 @@ class CrawlEngine:
         carries the all-time URL-seen membership). In production Iceberg
         both rewrites commit in one multi-table transaction; here they are
         two sequential manifest swaps."""
-        wm = self.store.read_or_none("watermarks")
-        if wm is None or not self.store.exists("frontier"):
+        if not self._watermarks or not self.store.exists("frontier"):
             if self.store.exists("frontier"):
                 self.store.compact("frontier")
             return
+        wm = self.spark.createDataFrame(
+            list(self._watermarks.items()), WATERMARKS_SCHEMA
+        )
         frontier = self.store.read("frontier")
         order = [F.col(c).asc() for c in DISCOVERY_ORDER]
         w = Window.partitionBy("domain").orderBy(*order)
@@ -783,8 +793,11 @@ class CrawlEngine:
             .drop("_rn", "served")
         )
         self.store.compact("frontier", remaining)
-        self.store.compact(
-            "watermarks", wm.select("domain", F.lit(0).cast("long").alias("served"))
+        self._watermarks = {d: 0 for d in self._watermarks}
+        self.store.overwrite_rows(
+            "watermarks",
+            [{"domain": d, "served": 0} for d in self._watermarks],
+            ARROW_SCHEMAS["watermarks"],
         )
 
     def summary(self) -> dict:
