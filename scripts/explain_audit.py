@@ -1,0 +1,69 @@
+"""Physical-plan audit for the contract queries.
+
+For each query in __spark_entry__.queries(), prints the formatted physical
+plan and greps for the health signals the 100TB design cares about:
+
+* PushedFilters / ReadSchema on parquet scans (pushdown + pruning)
+* WholeStageCodegen coverage (JVM-side expressions)
+* BroadcastHashJoin vs SortMergeJoin choices
+* row-at-a-time Python UDFs (BatchEvalPython = red flag; ArrowEvalPython
+  and mapInPandas stages are the sanctioned Python paths)
+
+Usage: python scripts/explain_audit.py [query ...]
+"""
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+SIGNALS = [
+    ("BatchEvalPython", "ROW-AT-A-TIME PYTHON UDF (red flag)"),
+    ("ArrowEvalPython", "arrow-batched pandas UDF"),
+    ("MapInPandas", "mapInPandas stage"),
+    ("BroadcastHashJoin", "broadcast hash join"),
+    ("SortMergeJoin", "sort-merge join"),
+    ("BroadcastNestedLoopJoin", "broadcast nested-loop join"),
+    ("CartesianProduct", "cartesian product (check intent)"),
+    ("PushedFilters: \\[[^]]", "parquet filter pushdown"),
+    ("WholeStageCodegen", "whole-stage codegen"),
+    ("Window", "window exec"),
+    ("TakeOrderedAndProject", "top-k without full sort"),
+]
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    from spacetime_crawler4py_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, fn in entry.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"== {name}: EXPLAIN FAILED {type(e).__name__}: {e}")
+            continue
+        hits = []
+        for pat, label in SIGNALS:
+            n = len(re.findall(pat, plan))
+            if n:
+                hits.append(f"{label} x{n}")
+        print(f"== {name}: {'; '.join(hits) if hits else '(no signals)'}")
+        if "-v" in sys.argv:
+            print(plan)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -25,16 +25,24 @@ def get_spark(
         # one shuffle partition per core locally; on a real cluster this is
         # set to 2-3x total cores (or left to AQE coalescing).
         shuffle_partitions = cpus
+    # size JVM-internal pools (GC, netty, fork-join) for the granted core
+    # count, not the machine's: a local[N] run pinned/entitled to N cores
+    # otherwise gets 32-wide GC + IO pools that thrash inside its allotment
+    n_cores = master.removeprefix("local[").rstrip("]") if master.startswith("local[") else str(cpus)
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    if n_cores.isdigit():
+        java_opts = f"-XX:ActiveProcessorCount={n_cores} {java_opts}".strip()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
