@@ -11,9 +11,9 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     cores (default 32)
-  BENCH_CRAWL_URLS     synthetic frontier size (default 400000)
-  BENCH_CRAWL_EPOCHS   epochs to run (default 3)
-  BENCH_CRAWL_TOKENS   politeness tokens per domain per epoch (default 32)
+  BENCH_CRAWL_URLS     synthetic frontier size (default 1000000)
+  BENCH_CRAWL_EPOCHS   epochs to run (default 2, after 1 warmup)
+  BENCH_CRAWL_TOKENS   politeness tokens per domain per epoch (default 128)
   BENCH_CRAWL_DOMAINS  domain count (default 1500)
   BENCH_SKIP_QUERIES   "1" -> crawl benchmark only
 """
@@ -58,8 +58,14 @@ BENCH_QUERIES = [
     "revenue_rollup",
     "url_seen_hash",
     "is_valid_filter",
+    "robots_gate",
+    "near_dup_flags",
+    "subdomain_histogram",
+    "event_windows",
+    "sessionize",
     "media_metadata",
     "frame_sample",
+    "decode_features",
 ]
 
 
@@ -138,10 +144,10 @@ def main() -> None:
 
     crawl = crawl_throughput(
         spark,
-        n_urls=int(os.environ.get("BENCH_CRAWL_URLS", "400000")),
+        n_urls=int(os.environ.get("BENCH_CRAWL_URLS", "1000000")),
         n_domains=int(os.environ.get("BENCH_CRAWL_DOMAINS", "1500")),
-        tokens=int(os.environ.get("BENCH_CRAWL_TOKENS", "32")),
-        epochs=int(os.environ.get("BENCH_CRAWL_EPOCHS", "3")),
+        tokens=int(os.environ.get("BENCH_CRAWL_TOKENS", "128")),
+        epochs=int(os.environ.get("BENCH_CRAWL_EPOCHS", "2")),
     )
     qtimes["crawl_epochs"] = crawl["wall_s"]
 

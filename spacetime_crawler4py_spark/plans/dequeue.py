@@ -25,8 +25,13 @@ __all__ = ["politeness_heads", "politeness_heads_watermarked", "DISCOVERY_ORDER"
 DISCOVERY_ORDER = ["rk_round", "rk_pop", "rk_pos"]
 
 
-# columns the downstream fetch/parse stage needs; ranking shuffles only these
-HEAD_COLUMNS = ["url", "url_hash", "domain", "salt", *DISCOVERY_ORDER]
+# columns the downstream fetch/parse stage needs; ranking shuffles only
+# these. In the relaxed/scale path url_hash is deliberately ABSENT: the
+# 64-char sha256 hex would be the widest column through both window
+# shuffles, and the parse stage recomputes it from the canonical url for
+# free (urlkit.url_hash). The exact-parity path keeps it (tiny rounds).
+HEAD_COLUMNS = ["url", "domain", "salt", *DISCOVERY_ORDER]
+EXACT_HEAD_COLUMNS = ["url", "url_hash", "domain", "salt", *DISCOVERY_ORDER]
 
 
 def politeness_heads(pending: DataFrame, tokens: int, salted: bool = True) -> DataFrame:
@@ -35,7 +40,9 @@ def politeness_heads(pending: DataFrame, tokens: int, salted: bool = True) -> Da
     Projects to HEAD_COLUMNS first so the two window shuffles move only
     what fetch needs (lineage columns like parent stay behind)."""
     order = [F.col(c).asc() for c in DISCOVERY_ORDER]
-    slim = pending.select(*[c for c in HEAD_COLUMNS if c in pending.columns])
+    slim = pending.select(
+        *[c for c in EXACT_HEAD_COLUMNS if c in pending.columns]
+    )
     if salted and "salt" in slim.columns:
         local = Window.partitionBy("domain", "salt").orderBy(*order)
         pre = (

@@ -65,7 +65,11 @@ def make_parse_stage(
             for row in pdf.itertuples(index=False):
                 rec = {
                     "url": row.url,
-                    "url_hash": row.url_hash,
+                    # recomputed when the dequeue plan dropped the column to
+                    # slim its window shuffles (frontier urls are canonical,
+                    # so the hash reproduces the stored identity)
+                    "url_hash": getattr(row, "url_hash", None)
+                    or urlkit.url_hash(row.url),
                     "domain": row.domain,
                     "slot": int(getattr(row, "slot", 1) or 1),
                     "rk_round": int(row.rk_round),

@@ -34,6 +34,7 @@ from the latest snapshot (reference resume semantics frontier.py:48-59).
 from __future__ import annotations
 
 import heapq
+import os
 import time
 from dataclasses import dataclass
 
@@ -145,6 +146,24 @@ class EngineConfig:
     dedup_doc_ids: bool = True             # False when the fetcher can't redirect
                                            # (doc_id collisions impossible) —
                                            # skips one per-epoch probe job
+
+
+_PHASE_DEBUG = os.environ.get("SPARK_GRAFT_PHASE_DEBUG") == "1"
+
+
+class _PhaseTimer:
+    """Opt-in per-phase wall clock (SPARK_GRAFT_PHASE_DEBUG=1)."""
+
+    def __init__(self) -> None:
+        self.t = time.monotonic()
+
+    def mark(self, label: str) -> None:
+        if _PHASE_DEBUG:
+            now = time.monotonic()
+            print(f"\nPHASE {label}: {now - self.t:.2f}s", flush=True)
+            self.t = now
+        else:
+            self.t = time.monotonic()
 
 
 class CrawlEngine:
@@ -281,12 +300,13 @@ class CrawlEngine:
     # shared stages
     # ------------------------------------------------------------------
     def _fetch_and_parse(self, dequeued: DataFrame) -> DataFrame:
-        """dequeued columns: url, url_hash, domain, slot, rk_round, rk_pop,
-        rk_pos. Joins the fetch oracle (or fetches in-stage), then the
-        fused parse stage."""
-        slim = dequeued.select(
-            "url", "url_hash", "domain", "slot", "rk_round", "rk_pop", "rk_pos"
-        )
+        """dequeued columns: url, domain, slot, rk_round, rk_pop, rk_pos
+        (+ url_hash in exact mode). Joins the fetch oracle (or fetches
+        in-stage), then the fused parse stage."""
+        cols = ["url", "domain", "slot", "rk_round", "rk_pop", "rk_pos"]
+        if "url_hash" in dequeued.columns:
+            cols.insert(1, "url_hash")
+        slim = dequeued.select(*cols)
         if self._in_stage_fetch:
             return slim.mapInPandas(self._parse_stage, schema=PARSED_SCHEMA)
         web = self.web_df.select(
@@ -491,6 +511,7 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def _run_relaxed_epoch(self) -> bool:
         t0 = time.monotonic()
+        pt = _PhaseTimer()
         base = self._round
         tokens = self.cfg.rounds_per_epoch
         wm_df = None
@@ -509,6 +530,7 @@ class CrawlEngine:
             F.count("*").alias("_add")
         ).collect()
         pops = sum(r._add for r in domain_counts)
+        pt.mark("dequeue+fetch+parse")
         if pops == 0:
             parsed.unpersist()
             return False
@@ -573,6 +595,7 @@ class CrawlEngine:
         )
         n_new = new_rows.count() if self.cfg.collect_metrics else -1
         self.store.append("frontier", new_rows)
+        pt.mark("candidates+frontier-merge")
         # the committed delta read-back is the cheap source for both the
         # seen-table append and the bloom increment (avoids recomputing the
         # candidate pipeline)
@@ -583,6 +606,7 @@ class CrawlEngine:
                 delta, "url_hash", self._bloom.n_bits, self._bloom.k
             )
             self._bloom.merge_inplace(inc)
+        pt.mark("seen+bloom")
 
         self.store.append(
             "completions",
@@ -628,14 +652,17 @@ class CrawlEngine:
             "doc_id", "domain", F.col("ord_round").alias("round"),
             "word_count", "spans",
         )
+        pt.mark("completions+docdedup-plan")
         collect = self.cfg.collect_metrics
         n_saved = saved_df.count() if collect else -1
         self.store.append("documents", saved_df)
+        pt.mark("documents")
         if self.cfg.neardup != "off":
             self.store.append(
                 "fingerprints",
                 docs_first.select("doc_id", "ord_round", "ord_pop", "fps", "bands"),
             )
+        _ = None
         self.store.append(
             "fetch_log",
             parsed.select(
@@ -643,6 +670,7 @@ class CrawlEngine:
                 "url", "url_hash", "domain", "gate", "checksum", "doc_id",
             ),
         )
+        pt.mark("fetch_log")
         stats = {
             "pops": pops,
             "parsed_ok": ok.count() if collect else -1,
