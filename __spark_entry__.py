@@ -372,6 +372,9 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming windowed agg): hourly counts + exact integer value sums
     (floor(value*1000) per event, so the cross-engine sum is
     order-independent)."""
+    # NTZ -> epoch conversion below reads the session timezone; pin it so
+    # the oracle comparison is host-config-independent
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy(
@@ -391,6 +394,7 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity closes a session) as a
     pure window plan: lag → gap flag → running sum = session ordinal."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ts_sec = F.col("ts").cast("timestamp").cast("long")  # NTZ -> UTC epoch
