@@ -360,7 +360,12 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            # integer cents (entry-file convention, header comment): the
+            # decimal sum is exact, *100 is an integer, and BIGINT hashes
+            # identically across engines (decimal(28,2) vs DECIMAL(38,2)
+            # render differently in the driver's normalizer)
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").alias("revenue_cents"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("nation")
@@ -549,10 +554,22 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode->features plumbing, projected to a hashable shape: the
+    array<float> column is exploded to (dim_idx, value_micro BIGINT) rows
+    (the driver's row canonicalizer cannot hash list cells — round-1 FAIL).
+    The stub decoder is md5-based and /256-normalized, so value_micro is
+    exactly floor(md5_byte * 1e6 / 256) and fully SQL-checkable."""
     docs = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
     stage = multimodal.decode_features_stage(feature_dim=8)
-    return docs.select(F.col("doc_id").alias("id"), "payload").mapInPandas(
+    feats = docs.select(F.col("doc_id").alias("id"), "payload").mapInPandas(
         stage, schema=multimodal.FEATURES_SCHEMA
+    )
+    return feats.select(
+        "id", "n_bytes", "decoder",
+        F.posexplode("feature").alias("dim_idx", "val"),
+    ).select(
+        "id", "n_bytes", "decoder", "dim_idx",
+        F.floor(F.col("val").cast("double") * 1000000).cast("long").alias("value_micro"),
     )
 
 
@@ -780,7 +797,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_rollup": """
             SELECT n.n_name AS nation,
-                   sum(o.o_totalprice::DECIMAL(18,2)) AS revenue,
+                   CAST(sum(o.o_totalprice::DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS revenue_cents,
                    count(*) AS n_orders
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -807,9 +825,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id, event_id,
-                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                   -- CAST: DuckDB's windowed sum(CASE..) is HUGEINT; Spark's
+                   -- is BIGINT, and the driver's normalizer renders them
+                   -- differently -> force BIGINT on both sides
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM g
         """,
         "url_seen_hash": f"""
@@ -922,6 +943,22 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) f
             WHERE f.i * 64 < octet_length(encode(d.text))
         """,
-        # minhash_lsh_pairs / simhash_pairs / ann_lsh / decode_features:
-        # sketch-based, not SQL-expressible -> driver rows-only check
+        "decode_features": """
+            WITH b AS (
+              SELECT doc_id AS id,
+                     octet_length(encode(text)) AS n_bytes,
+                     md5(text) AS h
+              FROM documents
+            ),
+            e AS (
+              SELECT id, n_bytes, i.i AS dim_idx,
+                     ('0x' || substr(h, i.i * 2 + 1, 2))::BIGINT AS byte
+              FROM b CROSS JOIN (SELECT unnest(range(8)) AS i) i
+            )
+            SELECT id, n_bytes, 'stub-md5' AS decoder, dim_idx,
+                   CAST(floor(byte * 1000000.0 / 256) AS BIGINT) AS value_micro
+            FROM e
+        """,
+        # minhash_lsh_pairs / simhash_pairs / ann_lsh:
+        # see the verified-pair / inlined-plane oracles added in round 2
     }

@@ -53,9 +53,14 @@ def decode_features_stage(feature_dim: int = 8, real_decode: bool = False):
 
     real_decode=True is the production path (image decode + model
     embedding) and is intentionally unimplemented in this container; the
-    deterministic fake derives features from a blake2b digest so tests can
-    assert exact values and batch shapes.
+    deterministic fake derives features from the md5 digest so tests can
+    assert exact values and batch shapes. Normalization is /256 (dyadic):
+    byte/256 is exactly representable in float32, so downstream integer
+    quantizations (floor(x*1e6)) are bit-identical across engines.
+    feature_dim must be <= 16 (md5 digest length).
     """
+    if feature_dim > 16:
+        raise ValueError("stub decoder derives features from md5: feature_dim <= 16")
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -67,9 +72,9 @@ def decode_features_stage(feature_dim: int = 8, real_decode: bool = False):
             ids, sizes, feats = [], [], []
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload) if row.payload is not None else b""
-                digest = hashlib.blake2b(payload, digest_size=feature_dim).digest()
+                digest = hashlib.md5(payload).digest()[:feature_dim]
                 feats.append(
-                    (np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0)
+                    (np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 256.0)
                     .tolist()
                 )
                 ids.append(row.id)
@@ -79,7 +84,7 @@ def decode_features_stage(feature_dim: int = 8, real_decode: bool = False):
                     "id": ids,
                     "n_bytes": sizes,
                     "feature": feats,
-                    "decoder": "stub-blake2b",
+                    "decoder": "stub-md5",
                 }
             )
 
