@@ -26,13 +26,14 @@ from spacetime_crawler4py_spark.functions.urlkit import (
 from spacetime_crawler4py_spark.functions.validity import udf_is_valid
 from spacetime_crawler4py_spark.operators import multimodal
 from spacetime_crawler4py_spark.operators.dedup import (
-    minhash_lsh_pairs,
+    minhash_lsh_verified_pairs,
     shingles_exploded,
     simhash_pairs,
 )
 from spacetime_crawler4py_spark.operators.similarity_search import (
     blocked_pair_cos_bp,
     brute_force_topk,
+    int_plane_matrix,
     lsh_bucketed_topk,
 )
 from spacetime_crawler4py_spark.operators.textstats import (
@@ -574,23 +575,50 @@ def q_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(
+    """MinHash-LSH dedup in its production shape: banded candidates +
+    exact shingle-Jaccard verification, so the output is the exact pair
+    set above tau (SQL-checkable) whenever LSH recall is 1 — the true
+    pairs in this corpus sit at j>=0.89, where 16x4 banding misses with
+    p~5e-7. A recall-containment pytest gates the LSH side separately."""
+    return minhash_lsh_verified_pairs(
         _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", threshold=0.3
     )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hamming-ball pairs over the md5-scheme simhash: pigeonhole
+    blocking (max_hamming+1 blocks) makes the blocked join equal the
+    all-pairs scan, and the md5 token hash makes the sketch recomputable
+    in ANSI SQL — full value-hash oracle instead of rows-only."""
     return simhash_pairs(
         _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", max_hamming=8
     )
 
 
+# Hyperplanes for the ANN contract query: small integers so every plane
+# dot over the quantized vectors is exact fp64 -> bucket assignment is
+# engine-independent, and the oracle SQL inlines this exact matrix.
+_ANN_TABLES, _ANN_PLANES_PER_TABLE = 12, 4
+_ANN_PLANES = int_plane_matrix(64, _ANN_PLANES_PER_TABLE, _ANN_TABLES, seed=42)
+
+
+def _ann_planes_values_sql() -> str:
+    """The exact hyperplane matrix as SQL VALUES rows (table, plane, w)."""
+    rows = []
+    for t in range(_ANN_TABLES):
+        for p in range(_ANN_PLANES_PER_TABLE):
+            w = ", ".join(str(int(x)) for x in _ANN_PLANES[t, p])
+            rows.append(f"({t}, {p}, [{w}]::DOUBLE[])")
+    return ",\n              ".join(rows)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _spread(_t(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    emb = _quantized_emb(spark, sf_dir)
     probes = emb.where(F.col("vec_id") < 5)
-    return lsh_bucketed_topk(emb, probes, "vec_id", "v", dim=64, k=10)
+    return lsh_bucketed_topk(
+        _spread(emb), probes, "vec_id", "v", dim=64, k=10,
+        planes=_ANN_PLANES, emit_bp=True,
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -959,6 +987,109 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(byte * 1000000.0 / 256) AS BIGINT) AS value_micro
             FROM e
         """,
-        # minhash_lsh_pairs / simhash_pairs / ann_lsh:
-        # see the verified-pair / inlined-plane oracles added in round 2
+        # minhash_lsh_pairs emits the exact-verified candidate set, which
+        # equals the exact shingle-Jaccard pair set at tau (LSH recall is 1
+        # on this corpus; the containment property is pytest-gated).
+        "minhash_lsh_pairs": f"""
+            WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tokens) >= 3 THEN list_distinct(
+                       list_transform(generate_series(1, len(tokens) - 2),
+                         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                     ELSE [] END AS sh
+              FROM tok
+            ),
+            sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            ov AS (
+              SELECT a.doc_id AS id, b.doc_id AS id2, count(*) AS common
+              FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT ov.id, ov.id2,
+                   CAST(floor(ov.common * 1000000.0
+                        / (s1.n_sh + s2.n_sh - ov.common)) AS BIGINT) AS jaccard_ppm
+            FROM ov
+            JOIN sizes s1 ON s1.doc_id = ov.id
+            JOIN sizes s2 ON s2.doc_id = ov.id2
+            WHERE floor(ov.common * 1000000.0 / (s1.n_sh + s2.n_sh - ov.common))
+                  >= 300000
+        """,
+        # simhash_pairs: recompute the md5-scheme simhash bit grid in SQL
+        # (bit j of hash(t) = (nibble(16 - j//4) >> (j%4)) & 1 over
+        # md5(t)[:16]) and take exact hamming over all pairs — the Spark
+        # side's pigeonhole blocking is lossless, so the sets are equal.
+        "simhash_pairs": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents
+            ),
+            tw AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+            th AS (SELECT doc_id, cnt, substr(md5(w), 1, 16) AS h FROM tw),
+            tot AS (SELECT doc_id, sum(cnt) AS n FROM th GROUP BY doc_id),
+            bitsum AS (
+              SELECT th.doc_id, j.j AS j,
+                     sum(cnt * (((strpos('0123456789abcdef',
+                                         substr(h, 16 - (j.j // 4), 1)) - 1)
+                                 >> (j.j % 4)) & 1)) AS ones
+              FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) j
+              GROUP BY th.doc_id, j.j
+            ),
+            bit AS (
+              SELECT b.doc_id, b.j,
+                     CASE WHEN 2 * b.ones > t.n THEN 1 ELSE 0 END AS bit
+              FROM bitsum b JOIN tot t USING (doc_id)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id, b.doc_id AS id2,
+                     sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS hamming
+              FROM bit a JOIN bit b ON a.j = b.j AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id, id2, CAST(hamming AS BIGINT) AS hamming
+            FROM pairs WHERE hamming <= 8
+        """,
+        # ann_lsh: the full ANN pipeline replayed in SQL — identical integer
+        # hyperplanes (inlined), identical bucket codes, identical candidate
+        # join, identical exact re-rank.
+        "ann_lsh": f"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> floor(x::DOUBLE * 1000)) AS v
+              FROM embeddings
+            ),
+            planes(table_idx, plane_idx, w) AS (VALUES
+              {_ann_planes_values_sql()}
+            ),
+            codes AS (
+              SELECT vec_id, table_idx,
+                     CAST(sum(CASE WHEN list_dot_product(v, w) > 0
+                              THEN power(2, plane_idx) ELSE 0 END) AS BIGINT)
+                       AS bucket
+              FROM e CROSS JOIN planes GROUP BY vec_id, table_idx
+            ),
+            p AS (SELECT * FROM codes WHERE vec_id < 5),
+            cand AS (
+              SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+              FROM p JOIN codes c USING (table_idx, bucket)
+              WHERE p.vec_id != c.vec_id
+            ),
+            scored AS (
+              SELECT probe_id, neighbor_id,
+                     list_dot_product(pe.v, ne.v)
+                       / (sqrt(list_dot_product(pe.v, pe.v))
+                          * sqrt(list_dot_product(ne.v, ne.v))) AS cos
+              FROM cand
+              JOIN e pe ON pe.vec_id = cand.probe_id
+              JOIN e ne ON ne.vec_id = cand.neighbor_id
+            ),
+            ranked AS (
+              SELECT probe_id, neighbor_id,
+                     CAST(floor(cos * 10000) AS BIGINT) AS cos_bp,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
     }

@@ -101,6 +101,12 @@ def run_once(cpus: int) -> dict:
     return crawl
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
 def run_at(cpus: int) -> dict:
     runs = []
     for i in range(REPS):
@@ -109,6 +115,7 @@ def run_at(cpus: int) -> dict:
         runs.append(r)
     best = max(runs, key=lambda r: r["urls_per_s"])
     best["all_runs_urls_per_s"] = [r["urls_per_s"] for r in runs]
+    best["median_urls_per_s"] = _median([r["urls_per_s"] for r in runs])
     return best
 
 
@@ -128,6 +135,10 @@ def main() -> None:
     print(f"[scaling] best local[{high}]: {r_high}", file=sys.stderr)
     ratio = r_high["urls_per_s"] / r_low["urls_per_s"]
     efficiency = ratio / (high / low)
+    # best-of-N can pair a lucky high-core run with an unlucky low-core run;
+    # the per-level-median ratio is the bias check printed alongside it
+    med_ratio = r_high["median_urls_per_s"] / r_low["median_urls_per_s"]
+    med_efficiency = med_ratio / (high / low)
     summary = {
         "low_cpus": low,
         "high_cpus": high,
@@ -135,6 +146,7 @@ def main() -> None:
         "high_urls_per_s": r_high["urls_per_s"],
         "speedup": round(ratio, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "scaling_efficiency_of_medians": round(med_efficiency, 3),
         "machine_ceiling_efficiency": round(cal_eff, 3),
         "input": {
             "frontier_size": URLS, "domains": DOMAINS,
@@ -165,6 +177,8 @@ def main() -> None:
             f"| speedup {low}->{high} cores (4x) | {ratio:.2f}x |\n"
             f"| **scaling efficiency** | **{efficiency:.2f}** "
             "(target >= 0.8) |\n"
+            f"| scaling efficiency (per-level medians) | "
+            f"{med_efficiency:.2f} |\n"
             f"| machine ceiling ({low}p vs {high}p pure-CPU calibration) | "
             f"{cal_low:.2f}s vs {cal_high:.2f}s -> efficiency "
             f"{cal_eff:.2f} |\n"

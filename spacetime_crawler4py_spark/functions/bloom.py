@@ -109,6 +109,25 @@ class BloomFilter:
         bf.bits = np.frombuffer(raw, dtype=np.uint8).copy()
         return bf
 
+    @classmethod
+    def from_state_cached(
+        cls, token: str, state: tuple[int, int, bytes]
+    ) -> "BloomFilter":
+        """Worker-process-cached reconstruction: a probe UDF runs once per
+        Arrow batch, and rebuilding the filter (a full bitset copy) per
+        batch is pure waste — the broadcast state is immutable for the
+        lifetime of its token (one epoch). Keeps at most one cached filter
+        per worker."""
+        bf = _PROBE_CACHE.get(token)
+        if bf is None:
+            _PROBE_CACHE.clear()
+            bf = cls.from_state(state)
+            _PROBE_CACHE[token] = bf
+        return bf
+
+
+_PROBE_CACHE: dict[str, "BloomFilter"] = {}
+
 
 def _bucket_of(hex_hashes: pd.Series, n_buckets: int) -> np.ndarray:
     """Bucket routing key: top 64 bits of the sha256 digest mod n_buckets —

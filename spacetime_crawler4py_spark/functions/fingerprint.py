@@ -152,12 +152,41 @@ def simhash64(tokens: list[str]) -> int:
     if not tokens:
         return 0
     h = np.asarray([_hash64(t) for t in tokens], dtype=np.uint64)
+    return _simhash_pack(h, len(tokens))
+
+
+# Scheme tag for persisted sketches (see ADVICE: silently mixing hash
+# schemes across a resume quietly misses near-dups). SnapshotStore stamps
+# this into the manifest of any table carrying minhash/simhash columns and
+# refuses to append under a different scheme.
+SKETCH_SCHEME = "minhash-splitmix64/v2+simhash-md5/v2"
+
+
+def _simhash_pack(h: np.ndarray, n_tokens: int) -> int:
     bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(tokens)  # (+1/-1 tally)
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - n_tokens  # (+1/-1 tally)
     out = 0
     for bit in np.nonzero(votes > 0)[0]:
         out |= 1 << int(bit)
     return out
+
+
+def simhash64_md5(tokens: list[str]) -> int | None:
+    """SimHash variant whose token hash is the top 64 bits of md5 — chosen
+    so an ANSI-SQL oracle (DuckDB has md5, not blake2b) can recompute the
+    identical bit grid: bit j of hash(t) = (hex_nibble(16 - j//4) >> (j%4)) & 1
+    over ``md5(t)[:16]``. Token multiplicity weights the votes; a tokenless
+    doc has no sketch (returns None) rather than an all-zero one, so
+    sketch-less docs are excluded from pair generation symmetrically on
+    both engines."""
+    if not tokens:
+        return None
+    h = np.asarray(
+        [int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+         for t in tokens],
+        dtype=np.uint64,
+    )
+    return _simhash_pack(h, len(tokens))
 
 
 def hamming64(a: int, b: int) -> int:

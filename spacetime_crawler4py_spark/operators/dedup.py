@@ -32,6 +32,7 @@ __all__ = [
     "shingles_exploded",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "minhash_lsh_verified_pairs",
     "simhash_pairs",
     "cosine_sim_col",
     "embedding_near_dup_pairs",
@@ -103,7 +104,12 @@ def shingles_exploded(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All unordered doc pairs with shingle-set Jaccard >= threshold.
 
@@ -111,18 +117,56 @@ def ngram_jaccard_pairs(
     self-equi-join on the 64-bit shingle hash (narrow shuffle key; the
     string itself never shuffles twice) → partial-agg pair counts → join
     back to per-doc shingle counts. Scales with shared-shingle volume, not
-    N²."""
+    N².
+
+    max_doc_freq is the scale guard for boilerplate: a shingle shared by D
+    docs emits D(D-1)/2 join rows, so one hot navigation/footer shingle at
+    D=10^6 detonates the self-join. With the cap set, shingles whose doc
+    frequency exceeds it are excluded from *candidate generation* only;
+    candidate pairs are then re-scored exactly over their full shingle
+    sets (hot ones included), so every reported jaccard is still exact.
+    The only loss is pairs whose entire overlap is capped shingles — by
+    construction boilerplate, not near-dup content: such a pair's true
+    jaccard is bounded by (hot shingles shared) / (union), which at sane
+    thresholds means the docs are mostly boilerplate anyway."""
     exploded = shingles_exploded(df, id_col, text_col, n).select(
         "id", F.xxhash64("g").alias("gh")
     )
     sizes = exploded.groupBy("id").agg(F.count("*").alias("n_sh"))
-    other = exploded.select(F.col("id").alias("id2"), F.col("gh"))
-    overlaps = (
-        exploded.join(other, "gh")
+    if max_doc_freq is None:
+        pair_src = exploded
+    else:
+        hot = (
+            exploded.groupBy("gh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("gh")
+        )
+        pair_src = exploded.join(hot, "gh", "left_anti")
+    other = pair_src.select(F.col("id").alias("id2"), F.col("gh"))
+    cand = (
+        pair_src.join(other, "gh")
         .where(F.col("id") < F.col("id2"))
-        .groupBy("id", "id2")
-        .agg(F.count("*").alias("common"))
-    )
+        .select("id", "id2")
+        .distinct()
+    ) if max_doc_freq is not None else None
+    if cand is None:
+        overlaps = (
+            pair_src.join(other, "gh")
+            .where(F.col("id") < F.col("id2"))
+            .groupBy("id", "id2")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        # exact re-score of candidates over the FULL shingle sets: expand
+        # candidate pairs by the left doc's shingles, equi-join on the
+        # right — cost tracks candidate volume, not boilerplate volume
+        overlaps = (
+            cand.join(exploded, "id")
+            .join(exploded.select(F.col("id").alias("id2"), "gh"), ["id2", "gh"])
+            .groupBy("id", "id2")
+            .agg(F.count("*").alias("common"))
+        )
     return (
         overlaps.join(sizes, "id")
         .join(
@@ -172,6 +216,44 @@ def _make_minhash_udfs(num_perm: int, bands: int):
     return sig_udf, bands_udf
 
 
+def _minhash_base(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    sig_udf, bands_udf = _make_minhash_udfs(num_perm, bands)
+    return df.select(
+        F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")
+    ).withColumn("bands", bands_udf("sig"))
+
+
+def _lsh_candidate_ids(base: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """Distinct (id, id2) candidate pairs from the banded bucket equi-join.
+    Only the narrow (id, b_idx, b_val) rows shuffle — signatures are
+    re-joined by callers *after* the pair dedup, so the wide sig arrays
+    never ride through the join + dropDuplicates shuffles (round-1 bench
+    flagged that as the minhash hot spot).
+
+    max_bucket, when set, drops band buckets shared by more than that many
+    docs before pairing — the LSH analog of the frequent-shingle cap: a
+    boilerplate bucket of D docs would emit D^2 pairs. Dropped buckets cost
+    recall only for pairs whose every other band also overflows, which at
+    sane banding means boilerplate, not near-dup, content."""
+    bnd = base.select("id", F.posexplode("bands").alias("b_idx", "b_val"))
+    if max_bucket is not None:
+        w = Window.partitionBy("b_idx", "b_val")
+        bnd = (
+            bnd.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    right = bnd.select(F.col("id").alias("id2"), "b_idx", "b_val")
+    return (
+        bnd.join(right, ["b_idx", "b_val"])
+        .where(F.col("id") < F.col("id2"))
+        .select("id", "id2")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -179,22 +261,15 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Candidate pairs via banded-minhash bucket join, verified by the
+    """Candidate pairs via banded-minhash bucket join, scored by the
     signature-agreement estimate. (id, id2, est_jaccard)."""
-    sig_udf, bands_udf = _make_minhash_udfs(num_perm, bands)
-    base = df.select(
-        F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")
-    ).withColumn("bands", bands_udf("sig"))
-    left = base.select("id", "sig", F.posexplode("bands").alias("b_idx", "b_val"))
-    right = left.select(
-        F.col("id").alias("id2"), F.col("sig").alias("sig2"), "b_idx", "b_val"
-    )
-    cands = (
-        left.join(right, ["b_idx", "b_val"])
-        .where(F.col("id") < F.col("id2"))
-        .select("id", "id2", "sig", "sig2")
-        .dropDuplicates(["id", "id2"])
+    base = _minhash_base(df, id_col, text_col, num_perm, bands)
+    cand_ids = _lsh_candidate_ids(base, max_bucket)
+    sigs = base.select("id", "sig")
+    cands = cand_ids.join(sigs, "id").join(
+        sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2")), "id2"
     )
     n_equal = F.size(
         F.filter(F.zip_with("sig", "sig2", lambda a, b: a == b), lambda x: x)
@@ -207,27 +282,101 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The production LSH dedup shape: banded-minhash candidate generation
+    followed by *exact* shingle-Jaccard verification of the candidates
+    only. Output (id, id2, jaccard_ppm) with jaccard_ppm >= threshold ppm.
+
+    Because verification is exact, the result equals the full exact-Jaccard
+    pair set whenever LSH recall is 1 at the threshold — which the banding
+    s-curve makes overwhelmingly likely for true near-dups (at j=0.89,
+    16 bands x 4 rows miss with p ~= 5e-7) — so the operator is checkable
+    against a pure ANSI-SQL oracle, unlike the raw estimate. Cost scales
+    with candidate volume, not N^2: the per-pair intersection is computed
+    by expanding only candidate pairs over the left doc's shingles and
+    equi-joining on (id2, shingle_hash)."""
+    cand_ids = _lsh_candidate_ids(
+        _minhash_base(df, id_col, text_col, num_perm, bands), max_bucket
+    )
+    ex = shingles_exploded(df, id_col, text_col, n).select(
+        "id", F.xxhash64("g").alias("gh")
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    common = (
+        cand_ids.join(ex, "id")
+        .join(ex.select(F.col("id").alias("id2"), "gh"), ["id2", "gh"])
+        .groupBy("id", "id2")
+        .agg(F.count("*").alias("common"))
+    )
+    ppm = F.floor(
+        F.col("common") * 1000000
+        / (F.col("n_sh") + F.col("n_sh2") - F.col("common"))
+    ).cast("long")
+    return (
+        common.join(sizes, "id")
+        .join(
+            sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n_sh2")),
+            "id2",
+        )
+        .withColumn("jaccard_ppm", ppm)
+        .where(F.col("jaccard_ppm") >= int(threshold * 1000000))
+        .select("id", "id2", "jaccard_ppm")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _hamming_blocks(max_hamming: int, n_bits: int = 64) -> list[tuple[int, int]]:
+    """(shift, width) sub-blocks: max_hamming+1 blocks make the pigeonhole
+    guarantee *exact* — a pair within the hamming ball cannot differ in
+    every one of max_hamming+1 blocks, so blocking loses no pairs."""
+    n_blocks = max_hamming + 1
+    widths = [n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0)
+              for i in range(n_blocks)]
+    out, off = [], 0
+    for w in widths:
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance. Candidate generation
-    blocks on 16-bit sub-bands (a pair within hamming<=6 of 64 bits must
-    agree exactly on at least one of 4 sub-bands — pigeonhole)."""
+    """All pairs within SimHash hamming distance <= max_hamming — *exact*
+    over the sketch: candidate blocking uses max_hamming+1 sub-blocks of
+    the 64-bit fingerprint, so by pigeonhole every qualifying pair agrees
+    exactly on at least one block and the blocked equi-join equals the
+    all-pairs scan. The sketch itself is the md5-scheme simhash
+    (fingerprint.simhash64_md5), recomputable by an ANSI-SQL oracle.
+    Tokenless docs carry no sketch and emit no pairs."""
 
     @pandas_udf(LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
+        from ..functions.fingerprint import simhash64_md5
         from ..functions.tokenize import report_tokens
 
         def signed(v):
+            if v is None:
+                return None
             return v - (1 << 64) if v >= (1 << 63) else v
 
-        return texts.map(lambda t: signed(simhash64(report_tokens(t or ""))))
+        return texts.map(lambda t: signed(simhash64_md5(report_tokens(t or ""))))
 
-    base = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh"))
+    base = df.select(
+        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")
+    ).where(F.col("sh").isNotNull())
     blocks = base.select(
         "id", "sh",
         F.explode(
@@ -235,11 +384,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("block_idx"),
-                        F.shiftrightunsigned("sh", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("sh", shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("block_val"),
                     )
-                    for i in range(4)
+                    for i, (shift, width) in enumerate(_hamming_blocks(max_hamming))
                 ]
             )
         ).alias("b"),

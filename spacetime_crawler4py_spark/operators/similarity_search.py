@@ -20,7 +20,12 @@ from pyspark.sql.types import ArrayType, LongType
 
 from .dedup import cosine_sim_col
 
-__all__ = ["brute_force_topk", "blocked_pair_cos_bp", "lsh_bucketed_topk"]
+__all__ = [
+    "brute_force_topk",
+    "blocked_pair_cos_bp",
+    "lsh_bucketed_topk",
+    "int_plane_matrix",
+]
 
 
 def blocked_pair_cos_bp(
@@ -28,49 +33,83 @@ def blocked_pair_cos_bp(
     id_col: str,
     vec_col: str,
     min_cos_bp: int,
+    rows_per_block: int = 4096,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine similarity (floored basis points) as a
-    broadcast nested-loop block multiply: the corpus matrix ships to every
-    task like the build side of a broadcast join, and each partition scores
-    its block with one numpy matmul instead of per-pair interpreted
-    array expressions (~30x). Returns (id, id2, cos_bp) for id < id2 with
-    cos_bp >= min_cos_bp.
+    distributed block-pair grid — no driver collect, no broadcast of the
+    corpus. Returns (id, id2, cos_bp) for id < id2 with cos_bp >= min_cos_bp.
+
+    Each vector is hashed to one of B blocks; the B(B+1)/2 unordered block
+    pairs are the physical tasks. A row in block b replicates to the cells
+    where b is the smaller coordinate as the 'a' side and where it is the
+    larger as the 'b' side, so every unordered vector pair meets in exactly
+    one cell. Shuffle volume is N*(B+1) rows (pick B so a block fits
+    executor memory — at 100 TB that's the only knob); each cell scores its
+    sub-grid with one numpy matmul instead of per-pair interpreted array
+    expressions (~30x).
 
     Exactness: when the vectors are integer-valued doubles (see the
     quantization in __spark_entry__._quantized_emb) every dot product and
-    norm is exact in fp64 regardless of summation order, so cos_bp is
-    bit-identical to the per-element expression form and to the DuckDB
-    oracle. At 100TB scale the corpus side is blocked too (grid of block
-    pairs); the LSH variant below is the sub-quadratic path."""
-    sc = emb.sparkSession.sparkContext
-    rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    b_corpus = sc.broadcast((ids, mat, norms))
+    norm is exact in fp64 regardless of blocking, so cos_bp is bit-identical
+    to the per-element expression form and to the DuckDB oracle. The LSH
+    variant below is the sub-quadratic path when exact all-pairs is not
+    required."""
+    if n_blocks is None:
+        n = emb.count()
+        n_blocks = max(1, -(-n // max(rows_per_block, 1)))
+    B = n_blocks
 
-    def score(batches):
-        c_ids, c_mat, c_norms = b_corpus.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ c_mat.T) / (a_norms[:, None] * c_norms[None, :])
-            bp = np.floor(cos * 10000)
-            keep = (a_ids[:, None] < c_ids[None, :]) & (bp >= min_cos_bp)
-            ai, ci = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id": a_ids[ai],
-                    "id2": c_ids[ci],
-                    "cos_bp": bp[ai, ci].astype(np.int64),
-                }
+    tagged = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    a_side = tagged.select(
+        "id", "v",
+        F.col("blk").alias("ci"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("cj"),
+        F.lit("a").alias("side"),
+    )
+    b_side = tagged.select(
+        "id", "v",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ci"),
+        F.col("blk").alias("cj"),
+        F.lit("b").alias("side"),
+    )
+    cells = a_side.unionByName(b_side)
+
+    def score_cell(key, pdf):
+        ci, cj = int(key[0]), int(key[1])
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id": [], "id2": [], "cos_bp": []}).astype(
+                {"id": np.int64, "id2": np.int64, "cos_bp": np.int64}
             )
+        a_ids = a["id"].to_numpy(dtype=np.int64)
+        b_ids = b["id"].to_numpy(dtype=np.int64)
+        a_mat = np.asarray([list(v) for v in a["v"]], dtype=np.float64)
+        b_mat = np.asarray([list(v) for v in b["v"]], dtype=np.float64)
+        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        cos = (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
+        bp = np.floor(cos * 10000)
+        keep = bp >= min_cos_bp
+        if ci == cj:
+            # diagonal cell sees each row on both sides: keep each unordered
+            # pair once (a < b); cross cells see each pair exactly once but
+            # with arbitrary id order, canonicalized below
+            keep &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(keep)
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame(
+            {"id": lo, "id2": hi, "cos_bp": bp[ai, bi].astype(np.int64)}
+        )
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        score, schema="id bigint, id2 bigint, cos_bp bigint"
+    return cells.groupBy("ci", "cj").applyInPandas(
+        score_cell, schema="id bigint, id2 bigint, cos_bp bigint"
     )
 
 
@@ -109,6 +148,19 @@ def _plane_matrix(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.
     return rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
 
 
+def int_plane_matrix(
+    dim: int, n_planes: int, n_tables: int, seed: int = 42, span: int = 9
+) -> np.ndarray:
+    """Small-integer random hyperplanes. With integer-valued (quantized)
+    vectors every plane dot is exact in fp64, so the sign pattern — and
+    therefore the whole bucket assignment — is bit-reproducible by any
+    engine, which is what lets the ANN path carry a SQL oracle."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(-span, span + 1, size=(n_tables, n_planes, dim)).astype(
+        np.float64
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -119,12 +171,21 @@ def lsh_bucketed_topk(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 42,
+    planes: np.ndarray | None = None,
+    emit_bp: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: sign-pattern bucket per table, equi-join
     probes to corpus on (table, bucket), exact cosine re-rank within the
     candidate set. Same output shape as brute_force_topk (rank within
-    found candidates; recall < 1.0 by design)."""
-    planes = _plane_matrix(dim, n_planes, n_tables, seed)
+    found candidates; recall < 1.0 by design). Pass ``planes``
+    (n_tables, n_planes, dim) to pin the hyperplanes (e.g. the integer
+    matrix from int_plane_matrix); ``emit_bp`` swaps the cos_sim column
+    for floored basis points (cos_bp), the integer form the cross-engine
+    value hash needs."""
+    if planes is None:
+        planes = _plane_matrix(dim, n_planes, n_tables, seed)
+    else:
+        n_tables, n_planes = planes.shape[0], planes.shape[1]
 
     @pandas_udf(ArrayType(LongType()))
     def buckets_udf(vecs: pd.Series) -> pd.Series:
@@ -157,14 +218,18 @@ def lsh_bucketed_topk(
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select("probe_id", "probev", "neighbor_id", "neighborv")
         .dropDuplicates(["probe_id", "neighbor_id"])
-        .withColumn(
-            "cos_sim",
-            F.round(cosine_sim_col(F.col("probev"), F.col("neighborv")), 4),
-        )
+        .withColumn("cos", cosine_sim_col(F.col("probev"), F.col("neighborv")))
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    # rank on the raw cosine: with integer-quantized inputs it is the same
+    # fp64 number on every engine (one division of exact integers)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    ranked = cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    if emit_bp:
+        return ranked.select(
+            "probe_id", "neighbor_id",
+            F.floor(F.col("cos") * 10000).cast("long").alias("cos_bp"),
+            "rank",
+        )
+    return ranked.select(
+        "probe_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank"
     )

@@ -54,14 +54,19 @@ class SnapshotStore:
     def _load_manifest(self, name: str, version: int | None = None) -> dict:
         path = self._manifest_path(name, version)
         if not os.path.exists(path):
-            return {"version": 0, "paths": []}
+            return {"version": 0, "paths": [], "properties": {}}
         with open(path, encoding="utf-8") as f:
             return json.load(f)
 
-    def _commit(self, name: str, paths: list[str]) -> int:
+    def _commit(
+        self, name: str, paths: list[str], properties: dict | None = None
+    ) -> int:
         cur = self._load_manifest(name)
         version = cur["version"] + 1
-        manifest = {"version": version, "paths": paths}
+        props = dict(cur.get("properties", {}))
+        if properties:
+            props.update(properties)
+        manifest = {"version": version, "paths": paths, "properties": props}
         versioned = self._manifest_path(name, version)
         with open(versioned, "w", encoding="utf-8") as f:
             json.dump(manifest, f)
@@ -74,6 +79,16 @@ class SnapshotStore:
     # -- public API -----------------------------------------------------------
     def current_version(self, name: str) -> int:
         return self._load_manifest(name)["version"]
+
+    def get_property(self, name: str, key: str):
+        """Table property from the current manifest (≙ Iceberg table
+        properties) — e.g. the sketch-scheme tag that guards resumes
+        against mixing incompatible fingerprint hash schemes."""
+        return self._load_manifest(name).get("properties", {}).get(key)
+
+    def set_property(self, name: str, key: str, value) -> int:
+        cur = self._load_manifest(name)
+        return self._commit(name, cur["paths"], {key: value})
 
     def exists(self, name: str) -> bool:
         return bool(self._load_manifest(name)["paths"])

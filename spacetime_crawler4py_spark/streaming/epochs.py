@@ -36,6 +36,7 @@ from __future__ import annotations
 import heapq
 import os
 import time
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -43,7 +44,7 @@ from pyspark.sql import functions as F
 
 from ..functions import urlkit
 from ..functions.bloom import BloomFilter
-from ..functions.fingerprint import NEAR_DUP_TAU, jaccard
+from ..functions.fingerprint import NEAR_DUP_TAU, SKETCH_SCHEME, jaccard
 from ..plans.dequeue import (
     DISCOVERY_ORDER,
     politeness_heads,
@@ -133,9 +134,14 @@ ARROW_SCHEMAS = _arrow_schemas()
 @dataclass
 class EngineConfig:
     politeness_delay: float = 0.5          # reference config.ini:12, floored
-    ordering: str = "exact"                # "exact" | "relaxed"
+    # Defaults are the SCALE path: relaxed epoch ordering + banded-LSH
+    # near-dup. The exact parity mode (reference-identical ordering, driver
+    # near-dup index) exists to reproduce reference semantics on small
+    # graphs and must be opted into — it collects per-round outputs to the
+    # driver and would OOM on a 10^10-row frontier.
+    ordering: str = "relaxed"              # "relaxed" | "exact" (parity mode)
     rounds_per_epoch: int = 1              # relaxed-mode token budget
-    neardup: str = "exact"                 # "exact" | "lsh" | "off"
+    neardup: str = "lsh"                   # "lsh" | "exact" (parity) | "off"
     use_bloom: bool = False
     salt_buckets: int = 8                  # skew salting (north_rule)
     robots: dict | None = None
@@ -213,6 +219,23 @@ class CrawlEngine:
         wm = self.store.read_or_none("watermarks")
         if wm is not None:
             self._watermarks = {r.domain: int(r.served) for r in wm.collect()}
+        if self.cfg.neardup != "off" and self.store is not None:
+            # sketch-scheme guard (see fingerprint.SKETCH_SCHEME): signatures
+            # persisted under a different hash scheme are silently
+            # incomparable — band joins would quietly miss near-dups — so
+            # refuse to resume across schemes instead of mixing them.
+            tag = self.store.get_property("fingerprints", "sketch_scheme")
+            if self.store.exists("fingerprints") and tag != SKETCH_SCHEME:
+                raise ValueError(
+                    f"fingerprints table was written under sketch scheme "
+                    f"{tag!r}, engine is {SKETCH_SCHEME!r}: rebuild the "
+                    "fingerprints table (drop it and re-run) instead of "
+                    "mixing incompatible signatures"
+                )
+            if tag is None:
+                self.store.set_property(
+                    "fingerprints", "sketch_scheme", SKETCH_SCHEME
+                )
         if self.cfg.neardup == "exact":
             fps_df = self.store.read_or_none("fingerprints")
             if fps_df is not None:
@@ -220,18 +243,23 @@ class CrawlEngine:
                 self._fps_index = [
                     (r.doc_id, frozenset(r.fps or [])) for r in rows
                 ]
-        docs = self.store.read_or_none("documents")
-        if docs is not None:
-            self._saved_doc_ids = {
-                r.doc_id for r in docs.select("doc_id").distinct().collect()
-            }
-        log = self.store.read_or_none("fetch_log")
-        if log is not None:
-            self._checksums = {
-                r.checksum
-                for r in log.select("checksum").where("checksum is not null")
-                .distinct().collect()
-            }
+        if self.cfg.ordering == "exact":
+            # driver mirrors are consumed only by the exact parity mode
+            # (_append_round_outputs); a relaxed-mode resume on a 10^10-doc
+            # store must never collect the doc/checksum universe to the
+            # driver (its dedup runs as anti-joins instead)
+            docs = self.store.read_or_none("documents")
+            if docs is not None:
+                self._saved_doc_ids = {
+                    r.doc_id for r in docs.select("doc_id").distinct().collect()
+                }
+            log = self.store.read_or_none("fetch_log")
+            if log is not None:
+                self._checksums = {
+                    r.checksum
+                    for r in log.select("checksum").where("checksum is not null")
+                    .distinct().collect()
+                }
         # the all-time URL-seen set lives in its own narrow hash-only table
         # (anti-join probe side + bloom source); the frontier table keeps the
         # full rows and — in relaxed mode — may drop its served prefix at
@@ -564,9 +592,12 @@ class CrawlEngine:
         flagged = None
         if self._bloom is not None:
             state = self._bloom.to_state()
+            token = f"{id(self)}-{base}-{uuid.uuid4().hex[:8]}"
 
             def probe(s):
-                return BloomFilter.from_state(state).might_contain_series(s)
+                return BloomFilter.from_state_cached(
+                    token, state
+                ).might_contain_series(s)
 
             from pyspark.sql.pandas.functions import pandas_udf
             from pyspark.sql.types import BooleanType
@@ -662,7 +693,6 @@ class CrawlEngine:
                 "fingerprints",
                 docs_first.select("doc_id", "ord_round", "ord_pop", "fps", "bands"),
             )
-        _ = None
         self.store.append(
             "fetch_log",
             parsed.select(
@@ -820,13 +850,20 @@ class CrawlEngine:
             .where(F.col("_rn") > F.coalesce(F.col("served"), F.lit(0)))
             .drop("_rn", "served")
         )
-        self.store.compact("frontier", remaining)
-        self._watermarks = {d: 0 for d in self._watermarks}
+        # Zero the persisted watermarks BEFORE compacting the frontier: a
+        # crash between the two manifest swaps then merely re-serves the
+        # already-served prefix (deduped by the completions/seen/prior-docs
+        # anti-joins — at-least-once). The reverse order would leave
+        # served=N against an already-trimmed frontier and silently skip N
+        # still-pending rows per domain. (`remaining` is computed from the
+        # in-memory watermarks, so the disk zeroing doesn't affect it.)
         self.store.overwrite_rows(
             "watermarks",
             [{"domain": d, "served": 0} for d in self._watermarks],
             ARROW_SCHEMAS["watermarks"],
         )
+        self.store.compact("frontier", remaining)
+        self._watermarks = {d: 0 for d in self._watermarks}
 
     def summary(self) -> dict:
         seen = self.store.read_or_none("seen")

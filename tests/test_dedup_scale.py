@@ -1,0 +1,157 @@
+"""Round-2 dedup/ANN guarantees: LSH candidate containment, ANN recall vs
+brute force, hot-shingle cap exactness, blocked-grid all-pairs equality,
+and the sketch-scheme resume guard."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spacetime_crawler4py_spark.operators.dedup import (
+    _lsh_candidate_ids,
+    _minhash_base,
+    minhash_lsh_verified_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from spacetime_crawler4py_spark.operators.similarity_search import (
+    blocked_pair_cos_bp,
+    brute_force_topk,
+    int_plane_matrix,
+    lsh_bucketed_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("double")
+        ).alias("v"),
+    )
+
+
+def _pair_set(df, a="id", b="id2"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_lsh_candidates_contain_exact_pairs(docs):
+    """The LSH guarantee the verified-pairs oracle depends on: every exact
+    Jaccard pair above tau is an LSH candidate (recall 1 on this corpus)."""
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    cands = _lsh_candidate_ids(_minhash_base(docs, "doc_id", "text", 64, 16))
+    missing = _pair_set(exact) - _pair_set(cands)
+    assert not missing, f"LSH missed exact pairs: {sorted(missing)[:5]}"
+
+
+def test_minhash_verified_equals_exact(docs):
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    verified = minhash_lsh_verified_pairs(docs, "doc_id", "text", threshold=0.3)
+    assert _pair_set(verified) == _pair_set(exact)
+
+
+def test_hot_shingle_cap_preserves_true_pairs(spark):
+    """Inject a boilerplate shingle shared by every doc: the capped run
+    must (a) agree with the uncapped run on all pairs above tau, while
+    (b) excluding the boilerplate shingle from candidate generation."""
+    boiler = "all rights reserved contact webmaster for details"
+
+    def word(i, j):  # tokenizer keeps [a-z]{2,} only — letters, no digits
+        return "w" + "".join(
+            "abcdefghij"[int(c)] for c in str(i)
+        ) + "x" + "".join("abcdefghij"[int(c)] for c in str(j))
+
+    rows = []
+    for i in range(40):
+        body = " ".join(word(i, j) for j in range(30))
+        rows.append((i, body + " " + boiler))
+    # two true near-dups sharing real content
+    rows.append((100, "the quick brown fox jumps over the lazy dog " + boiler))
+    rows.append((101, "the quick brown fox jumps over the lazy dog " + boiler))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, max_doc_freq=10
+    )
+    assert _pair_set(capped) == _pair_set(uncapped) == {(100, 101)}
+    # and the reported jaccard stays exact (full sets incl. hot shingles)
+    j_un = {(r["id"], r["id2"]): r["jaccard"] for r in uncapped.collect()}
+    j_cap = {(r["id"], r["id2"]): r["jaccard"] for r in capped.collect()}
+    assert j_cap == j_un
+
+
+def test_simhash_blocking_is_lossless(docs):
+    """Pigeonhole blocking (max_hamming+1 blocks) must equal the all-pairs
+    scan: compare against pairs computed with blocking disabled via a
+    hamming budget so large every pair survives one shared block."""
+    blocked = simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    # oracle: compute sketches once, all-pairs hamming in pandas
+    from spacetime_crawler4py_spark.functions.fingerprint import simhash64_md5
+    from spacetime_crawler4py_spark.functions.tokenize import report_tokens
+
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    sk = {i: simhash64_md5(report_tokens(t)) for i, t in texts.items()}
+    ids = sorted(i for i, s in sk.items() if s is not None)
+    want = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if bin(sk[ids[a]] ^ sk[ids[b]]).count("1") <= 8:
+                want.add((ids[a], ids[b]))
+    assert _pair_set(blocked) == want
+
+
+def test_ann_recall_vs_brute_force(emb):
+    """An untested ANN index is unshippable: gate recall@10 of the
+    bucketed path against the exact brute-force baseline."""
+    probes = emb.where(F.col("vec_id") < 20)
+    truth = brute_force_topk(emb, probes, "vec_id", "v", k=10)
+    planes = int_plane_matrix(64, 4, 12, seed=42)
+    ann = lsh_bucketed_topk(
+        emb, probes, "vec_id", "v", dim=64, k=10, planes=planes
+    )
+    t = {(r.probe_id, r.neighbor_id) for r in truth.collect()}
+    a = {(r.probe_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(t & a) / len(t)
+    assert recall >= 0.5, f"ANN recall@10 too low: {recall:.2f}"
+
+
+def test_blocked_grid_equals_single_block(emb):
+    """The distributed block-pair grid (no driver collect) must produce
+    identical pairs regardless of block count."""
+    one = blocked_pair_cos_bp(emb, "vec_id", "v", min_cos_bp=3000, n_blocks=1)
+    grid = blocked_pair_cos_bp(emb, "vec_id", "v", min_cos_bp=3000, n_blocks=5)
+    rows_one = {(r.id, r.id2, r.cos_bp) for r in one.collect()}
+    rows_grid = {(r.id, r.id2, r.cos_bp) for r in grid.collect()}
+    assert rows_one == rows_grid
+    assert rows_one  # non-trivial
+
+
+def test_sketch_scheme_guard(spark, tmp_path):
+    """Resuming over a fingerprints table written under a different sketch
+    scheme must refuse, not silently mix signatures."""
+    from spacetime_crawler4py_spark.sources.store import SnapshotStore
+    from spacetime_crawler4py_spark.streaming.epochs import CrawlEngine, EngineConfig
+
+    d = str(tmp_path / "store")
+    store = SnapshotStore(spark, d)
+    store.append(
+        "fingerprints",
+        spark.createDataFrame(
+            [("x", 0, "d", [1], [2])],
+            "doc_id string, ord_round long, ord_pop string, "
+            "fps array<long>, bands array<long>",
+        ),
+    )
+    store.set_property("fingerprints", "sketch_scheme", "legacy/v0")
+    with pytest.raises(ValueError, match="sketch scheme"):
+        CrawlEngine(
+            spark, store, None, EngineConfig(ordering="relaxed", neardup="lsh")
+        )

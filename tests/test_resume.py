@@ -64,6 +64,38 @@ def test_exact_resume_equals_uninterrupted(spark, web, web_df, tmp_path):
     assert _state(store_a) == _state(store_b)
 
 
+def test_relaxed_resume_equals_uninterrupted(spark, web, web_df, tmp_path):
+    """Relaxed-mode crash-resume converges to the uninterrupted end state
+    AND never mirrors the documents/fetch_log universe onto the driver
+    (the exact parity mode is the only consumer of those sets; a
+    10^10-doc relaxed resume must not collect them)."""
+    cfg = dict(ordering="relaxed", neardup="lsh", rounds_per_epoch=2,
+               use_bloom=True)
+    store_a = SnapshotStore(spark, str(tmp_path / "ra"))
+    eng_a = CrawlEngine(spark, store_a, web_df, EngineConfig(**cfg))
+    eng_a.seed(web.seeds)
+    eng_a.run()
+    store_b = SnapshotStore(spark, str(tmp_path / "rb"))
+    eng_b1 = CrawlEngine(spark, store_b, web_df, EngineConfig(**cfg))
+    eng_b1.seed(web.seeds)
+    eng_b1.run(max_rounds=2)
+    del eng_b1
+    eng_b2 = CrawlEngine(spark, store_b, web_df, EngineConfig(**cfg))
+    # the driver mirrors must stay empty in relaxed mode even though the
+    # store already holds documents and fetch_log snapshots
+    assert store_b.exists("documents") and store_b.exists("fetch_log")
+    assert eng_b2._saved_doc_ids == set() and eng_b2._checksums == set()
+    eng_b2.run()
+
+    def _sets(store):
+        return (
+            {d.doc_id for d in store.read("documents").collect()},
+            {r.url_hash for r in store.read("seen").collect()},
+        )
+
+    assert _sets(store_a) == _sets(store_b)
+
+
 def test_snapshot_time_travel(spark, web, web_df, tmp_path):
     """Older manifest versions stay readable (Iceberg-snapshot semantics)."""
     store = SnapshotStore(spark, str(tmp_path / "tt"))
