@@ -31,7 +31,14 @@ from dataclasses import dataclass, field
 from html.parser import HTMLParser
 from urllib.parse import urldefrag, urljoin
 
-__all__ = ["Span", "ParsedPage", "parse_page", "looks_like_xml", "GATE_OK"]
+__all__ = [
+    "Span",
+    "ParsedPage",
+    "parse_page",
+    "looks_like_xml",
+    "extract_analyzer_text",
+    "GATE_OK",
+]
 
 # Subtrees removed before text extraction (reference scraper.py:225-226).
 _SKIP_SUBTREES = {"script", "style", "noscript", "svg"}
@@ -242,6 +249,141 @@ class _SpanHTMLParser(HTMLParser):
     def close(self) -> None:  # flush a dangling unclosed <a>
         super().close()
         self._flush_anchor()
+
+
+# ---------------------------------------------------------------------------
+# analyzer-variant text extraction (reference analyze_crawl.py:65-80)
+# ---------------------------------------------------------------------------
+# The *report* pipeline strips more than the scraper variant: besides
+# script/style/noscript/svg it removes [hidden], [aria-hidden="true"],
+# [style*="display:none"], [style*="visibility:hidden"] elements and all
+# nav/footer/header subtrees before tokenizing. The reference does this
+# with BeautifulSoup(lxml); this stand-in keeps an explicit element stack
+# (with lxml-ish implied end tags) so subtree removal survives unclosed
+# tags the way a tree builder's recovery does.
+
+_ANALYZER_REMOVE_TAGS = {"script", "style", "noscript", "svg",
+                         "nav", "footer", "header"}
+
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
+
+# When tag T opens while S is on top of the stack and T is in _IMPLIED_END[S],
+# S is implicitly closed first (libxml2/HTML5-style recovery — without this a
+# missing </p> inside a hidden block would swallow the rest of the page).
+_BLOCKISH = {
+    "p", "div", "ul", "ol", "dl", "li", "dt", "dd", "table", "form",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "section",
+    "article", "aside", "nav", "header", "footer", "figure", "main",
+    "fieldset", "address", "hr",
+}
+_IMPLIED_END = {
+    "p": _BLOCKISH,
+    "li": {"li"},
+    "dt": {"dt", "dd"},
+    "dd": {"dt", "dd"},
+    "tr": {"tr"},
+    "td": {"td", "th", "tr"},
+    "th": {"td", "th", "tr"},
+    "thead": {"tbody", "tfoot"},
+    "tbody": {"tbody", "tfoot"},
+    "option": {"option", "optgroup"},
+    "optgroup": {"optgroup"},
+}
+
+
+class _AnalyzerTextParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list[tuple[str, bool]] = []  # (tag, removed-subtree)
+        self.removed_depth = 0
+        self.chunks: list[str] = []
+
+    @staticmethod
+    def _is_hidden(attrs) -> bool:
+        for k, v in attrs:
+            if k == "hidden":
+                return True
+            if k == "aria-hidden" and v == "true":
+                return True
+            if k == "style" and v and (
+                "display:none" in v or "visibility:hidden" in v
+            ):
+                return True
+        return False
+
+    def _push(self, tag: str, attrs) -> None:
+        implied = _IMPLIED_END.get
+        while self.stack and tag in implied(self.stack[-1][0], ()):
+            self._pop_one()
+        removed = tag in _ANALYZER_REMOVE_TAGS or self._is_hidden(attrs)
+        if tag in _VOID_TAGS:
+            return  # void elements carry no subtree (and no text)
+        self.stack.append((tag, removed))
+        if removed:
+            self.removed_depth += 1
+
+    def _pop_one(self) -> None:
+        _, removed = self.stack.pop()
+        if removed:
+            self.removed_depth -= 1
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._push(tag, attrs)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        # lxml treats a self-closed non-void ("<div/>") as an open tag
+        self._push(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i][0] == tag:
+                while len(self.stack) > i:
+                    self._pop_one()
+                return
+        # stray end tag with no matching open: ignored (tree-builder style)
+
+    def handle_data(self, data: str) -> None:
+        if self.removed_depth:
+            return
+        s = data.strip()
+        if s:
+            self.chunks.append(s)
+
+
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_.:-]+)""", re.I
+)
+
+
+def _decode_html(payload: bytes) -> str:
+    """Decode like UnicodeDammit's main path: BOM, else declared
+    <meta charset>, else UTF-8 with replacement."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", errors="replace")
+    m = _CHARSET_RE.search(payload[:2048])
+    if m:
+        try:
+            return payload.decode(m.group(1).decode("ascii"), errors="replace")
+        except (LookupError, UnicodeDecodeError):
+            pass
+    return payload.decode("utf-8", errors="replace")
+
+
+def extract_analyzer_text(payload: bytes) -> str:
+    """Visible text per the reference report pipeline
+    (analyze_crawl.py:65-80): strip script/style/noscript/svg, hidden
+    elements, and nav/footer/header subtrees, then join text nodes with
+    single spaces (bs4 ``get_text(" ", strip=True)`` semantics)."""
+    parser = _AnalyzerTextParser()
+    try:
+        parser.feed(_decode_html(payload))
+        parser.close()
+    except Exception:
+        return ""
+    return " ".join(parser.chunks)
 
 
 def looks_like_xml(payload: bytes) -> bool:

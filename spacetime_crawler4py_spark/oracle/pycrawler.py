@@ -39,16 +39,19 @@ __all__ = ["OracleCrawler", "OracleResult", "robots_allows"]
 def robots_allows(robots: dict[str, list[str]] | None, url: str) -> bool:
     """Minimal robots gate (north_star addition; the reference delegates
     robots to its cache server and has no implementation): a URL is blocked
-    when its path starts with any disallowed prefix for its netloc."""
+    when its path starts with any disallowed prefix for its netloc. The
+    probed path gets the same quote(unquote()) normalization
+    ``urllib.robotparser.can_fetch`` applies, so '/a b/' and '/a%20b/'
+    probe identically (differential-tested in test_robots.py)."""
     if not robots:
         return True
-    from urllib.parse import urlparse
+    from urllib.parse import quote, unquote, urlparse
 
     p = urlparse(url)
     prefixes = robots.get(p.netloc)
     if not prefixes:
         return True
-    path = p.path or "/"
+    path = quote(unquote(p.path)) or "/"
     return not any(path.startswith(prefix) for prefix in prefixes)
 
 
