@@ -270,27 +270,62 @@ _VOID_TAGS = {
     "meta", "param", "source", "track", "wbr",
 }
 
-# When tag T opens while S is on top of the stack and T is in _IMPLIED_END[S],
-# S is implicitly closed first (libxml2/HTML5-style recovery — without this a
-# missing </p> inside a hidden block would swallow the rest of the page).
-_BLOCKISH = {
-    "p", "div", "ul", "ol", "dl", "li", "dt", "dd", "table", "form",
-    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "section",
-    "article", "aside", "nav", "header", "footer", "figure", "main",
-    "fieldset", "address", "hr",
-}
-_IMPLIED_END = {
-    "p": _BLOCKISH,
-    "li": {"li"},
-    "dt": {"dt", "dd"},
-    "dd": {"dt", "dd"},
-    "tr": {"tr"},
-    "td": {"td", "th", "tr"},
-    "th": {"td", "th", "tr"},
-    "thead": {"tbody", "tfoot"},
-    "tbody": {"tbody", "tfoot"},
-    "option": {"option", "optgroup"},
-    "optgroup": {"optgroup"},
+# When tag T opens, it implicitly closes the current element while that
+# element is in _CLOSES[T] — a transposition of libxml2's htmlStartClose
+# table (HTMLparser.c), because the reference's extractor is
+# BeautifulSoup(lxml) and matching its recovery on unclosed tags is what
+# keeps subtree removal (and therefore word counts) bit-compatible.
+# Notably HTML5 sectioning tags (section/article/nav/header/footer/main)
+# close NOTHING here: libxml2 predates them and nests them inside an open
+# <p>, which matters when that <p> is hidden.
+_H16 = {"h1", "h2", "h3", "h4", "h5", "h6"}
+_CLOSES = {
+    "form": {"form", "p", "hr", "dl", "ul", "ol", "menu", "dir",
+             "address", "pre", "listing", "xmp", "head"} | _H16,
+    "head": {"p"},
+    "title": {"p"},
+    "body": {"head", "style", "link", "meta", "script", "title", "p"},
+    "frameset": {"head", "style", "link", "meta", "script", "title", "p"},
+    "li": {"p", "dl", "address", "pre", "listing", "xmp", "head", "li"} | _H16,
+    "hr": {"p", "head"},
+    "h1": {"p", "head"}, "h2": {"p", "head"}, "h3": {"p", "head"},
+    "h4": {"p", "head"}, "h5": {"p", "head"}, "h6": {"p", "head"},
+    "dir": {"p", "head"},
+    "address": {"p", "head", "ul"},
+    "pre": {"p", "head", "ul"},
+    "listing": {"p", "head"},
+    "xmp": {"p", "head"},
+    "blockquote": {"p", "head"},
+    "dl": {"p", "dt", "menu", "dir", "address", "pre", "listing", "xmp",
+           "head"},
+    "dt": {"p", "menu", "dir", "address", "pre", "listing", "xmp", "head",
+           "dd"},
+    "dd": {"p", "menu", "dir", "address", "pre", "listing", "xmp", "head",
+           "dt"},
+    "ul": {"p", "head", "ol", "menu", "dir", "address", "pre", "listing",
+           "xmp"},
+    "ol": {"p", "head", "ul"},
+    "menu": {"p", "head", "ul"},
+    "p": {"p", "head"} | _H16,
+    "div": {"p", "head"},
+    "center": {"font", "b", "i", "p", "head"},
+    "a": {"a", "head"},
+    "caption": {"p"},
+    "colgroup": {"caption", "button", "datalist", "textarea", "p"},
+    "col": {"caption", "col", "colgroup", "p"},
+    "table": {"p", "head", "pre", "listing", "xmp", "a"} | _H16,
+    "th": {"th", "td", "p", "span", "font", "a", "b", "i", "u"},
+    "td": {"th", "td", "p", "span", "font", "a", "b", "i", "u"},
+    "tr": {"th", "td", "tr", "caption", "col", "colgroup", "p", "span",
+           "font", "a", "b", "i", "u"},
+    "thead": {"caption", "col", "colgroup"},
+    "tfoot": {"th", "td", "tr", "caption", "col", "colgroup", "thead",
+              "tbody", "p", "span", "font", "a", "b", "i", "u"},
+    "tbody": {"th", "td", "tr", "caption", "col", "colgroup", "thead",
+              "tfoot", "tbody", "p", "span", "font", "a", "b", "i", "u"},
+    "optgroup": {"option"},
+    "option": {"option"},
+    "fieldset": {"legend", "p", "head", "pre", "listing", "xmp", "a"} | _H16,
 }
 
 
@@ -315,8 +350,8 @@ class _AnalyzerTextParser(HTMLParser):
         return False
 
     def _push(self, tag: str, attrs) -> None:
-        implied = _IMPLIED_END.get
-        while self.stack and tag in implied(self.stack[-1][0], ()):
+        closes = _CLOSES.get(tag, ())
+        while self.stack and self.stack[-1][0] in closes:
             self._pop_one()
         removed = tag in _ANALYZER_REMOVE_TAGS or self._is_hidden(attrs)
         if tag in _VOID_TAGS:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,17 +64,35 @@ def scan_pages_dir(spark: SparkSession, pages_dir: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(
         os.path.join(pages_dir, "*")
     )
-    head = F.decode(F.substring(F.col("content"), 1, 8192), "UTF-8")
+    # ISO-8859-1 decode is total (Spark 4's UTF-8 decode is strict, and the
+    # 8KB cut can split a multibyte char) and byte-transparent, so the
+    # JVM-side regex sees the exact bytes; the short matched URL is then
+    # re-decoded as UTF-8 errors='ignore' — the reference's exact decode —
+    # in a vectorized UDF (runs only on the ~100-byte matches, not payloads)
+    head = F.decode(F.substring(F.col("content"), 1, 8192), "ISO-8859-1")
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def utf8_ignore(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: v.encode("ISO-8859-1", errors="ignore").decode(
+                "utf-8", errors="ignore"
+            )
+        )
+
     return (
         files.where(
             F.lower(F.col("path")).endswith(".html")
             | F.lower(F.col("path")).endswith(".htm")
         )
         .select(
-            F.regexp_extract(head, _URL_HINT_RE, 1).alias("url"),
+            F.regexp_extract(head, _URL_HINT_RE, 1).alias("_raw_url"),
             F.regexp_replace(F.col("path"), "^file:/+", "/").alias("path"),
         )
-        .where(F.col("url") != "")
+        .where(F.col("_raw_url") != "")
+        .select(utf8_ignore(F.col("_raw_url")).alias("url"), "path")
     )
 
 
