@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["politeness_heads", "politeness_heads_watermarked", "DISCOVERY_ORDER"]
+__all__ = [
+    "politeness_heads",
+    "politeness_heads_watermarked",
+    "politeness_heads_indexed",
+    "DISCOVERY_ORDER",
+]
 
 # the deterministic per-domain FIFO key (SURVEY §2.6 'seq')
 DISCOVERY_ORDER = ["rk_round", "rk_pop", "rk_pos"]
@@ -56,6 +61,43 @@ def politeness_heads(pending: DataFrame, tokens: int, salted: bool = True) -> Da
     return (
         pre.withColumn("slot", F.row_number().over(per_domain))
         .where(F.col("slot") <= tokens)
+    )
+
+
+# the indexed (scale) dequeue ships only what fetch needs
+INDEXED_HEAD_COLUMNS = ["url", "domain", "seq", *DISCOVERY_ORDER]
+
+
+def politeness_heads_indexed(
+    frontier: DataFrame,
+    watermarks: DataFrame | None,
+    tokens: int,
+) -> DataFrame:
+    """The scale dequeue: a pure filter, no window, no shuffle.
+
+    Every frontier row carries ``seq`` — its permanent 1-based position in
+    its domain's FIFO, assigned once at insert (cheap: a window over each
+    epoch's *new-rows batch* plus a broadcast per-domain offset; valid
+    because the FIFO key's leading component is the strictly increasing
+    epoch counter, so later inserts always sort after earlier ones). The
+    politeness dequeue is then ``served < seq <= served + tokens`` against
+    the broadcast watermark dim: embarrassingly parallel, skew-immune
+    (no per-domain partitioning at all), and with a seq-sorted/partitioned
+    frontier layout the predicate prunes row groups at the parquet scan.
+    This replaces round 1's double window over the full frontier — the
+    measured top cost of every epoch."""
+    slim = frontier.select(
+        *[c for c in INDEXED_HEAD_COLUMNS if c in frontier.columns]
+    )
+    if watermarks is not None:
+        slim = slim.join(F.broadcast(watermarks), "domain", "left")
+        served = F.coalesce(F.col("served"), F.lit(0))
+    else:
+        served = F.lit(0)
+    return (
+        slim.where((F.col("seq") > served) & (F.col("seq") <= served + tokens))
+        .withColumn("slot", (F.col("seq") - served).cast("int"))
+        .drop("served")
     )
 
 

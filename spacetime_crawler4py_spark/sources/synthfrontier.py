@@ -19,7 +19,7 @@ only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.urlkit import udf_url_hash
@@ -119,6 +119,9 @@ def synthetic_crawl_inputs(
     if seed_fraction < 1.0:
         stride = max(2, int(round(1 / seed_fraction)))
         seed_base = with_url.where(F.pmod("id", F.lit(stride)) == 0)
+    # seq: the permanent per-domain FIFO position (engine FRONTIER_SCHEMA);
+    # a one-time generation cost, not part of the measured crawl
+    w_seq = Window.partitionBy("domain").orderBy("id")
     frontier = seed_base.select(
         udf_url_hash("url").alias("url_hash"),
         "url",
@@ -129,6 +132,7 @@ def synthetic_crawl_inputs(
         F.lit("").alias("rk_pop"),
         F.col("id").cast("int").alias("rk_pos"),
         F.lit(-1).cast("bigint").alias("epoch_added"),
+        F.row_number().over(w_seq).cast("bigint").alias("seq"),
     )
 
     # id-derived token stream: every word embeds the id so shingle sets are

@@ -48,20 +48,28 @@ from ..functions.fingerprint import NEAR_DUP_TAU, SKETCH_SCHEME, jaccard
 from ..plans.dequeue import (
     DISCOVERY_ORDER,
     politeness_heads,
-    politeness_heads_watermarked,
+    politeness_heads_indexed,
 )
 from ..plans.parse_stage import PARSED_SCHEMA, make_parse_stage
 from ..sources.store import SnapshotStore
 
 __all__ = ["CrawlEngine", "EngineConfig"]
 
+# seq = the row's permanent 1-based position in its domain's FIFO,
+# assigned once at insert (monotone: every later insert sorts after every
+# earlier one, because rk_round is the strictly-increasing epoch counter).
+# It turns the politeness dequeue into a pure filter — see
+# plans.dequeue.politeness_heads_indexed.
 FRONTIER_SCHEMA = (
     "url_hash string, url string, domain string, salt int, parent string, "
-    "rk_round bigint, rk_pop string, rk_pos int, epoch_added bigint"
+    "rk_round bigint, rk_pop string, rk_pos int, epoch_added bigint, "
+    "seq bigint"
 )
 COMPLETIONS_SCHEMA = "url_hash string, round bigint"
 SEEN_SCHEMA = "url_hash string"
-WATERMARKS_SCHEMA = "domain string, served bigint"
+WATERMARKS_SCHEMA = "domain string, served bigint, enqueued bigint"
+# broadcast dim the dequeue filter probes (served only)
+_WM_BROADCAST_SCHEMA = "domain string, served bigint"
 DOCUMENTS_SCHEMA = (
     "doc_id string, domain string, round bigint, word_count int, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
@@ -94,7 +102,7 @@ def _arrow_schemas():
              ("domain", pa.string()), ("salt", pa.int32()),
              ("parent", pa.string()), ("rk_round", pa.int64()),
              ("rk_pop", pa.string()), ("rk_pos", pa.int32()),
-             ("epoch_added", pa.int64())]
+             ("epoch_added", pa.int64()), ("seq", pa.int64())]
         ),
         "seen": pa.schema([("url_hash", pa.string())]),
         "completions": pa.schema(
@@ -117,7 +125,8 @@ def _arrow_schemas():
              ("doc_id", pa.string())]
         ),
         "watermarks": pa.schema(
-            [("domain", pa.string()), ("served", pa.int64())]
+            [("domain", pa.string()), ("served", pa.int64()),
+             ("enqueued", pa.int64())]
         ),
         "metrics": pa.schema(
             [("round", pa.int64()), ("pops", pa.int64()),
@@ -206,6 +215,11 @@ class CrawlEngine:
         # relaxed-mode per-domain served watermarks: held on the driver (one
         # int per domain), snapshotted to the watermarks table per epoch
         self._watermarks: dict[str, int] = {}
+        # per-domain enqueue counters: the last assigned frontier seq.
+        # Driver-held like the watermarks (one int per domain); persisted in
+        # the same table. At very large domain cardinality both would move
+        # into a Spark state table maintained by merge — same contract.
+        self._next_seq: dict[str, int] = {}
         self._resume()
 
     # ------------------------------------------------------------------
@@ -218,7 +232,34 @@ class CrawlEngine:
             self._round = int(row.m) + 1 if row.m is not None else 0
         wm = self.store.read_or_none("watermarks")
         if wm is not None:
-            self._watermarks = {r.domain: int(r.served) for r in wm.collect()}
+            wm_rows = wm.collect()
+            self._watermarks = {r.domain: int(r.served) for r in wm_rows}
+            if "enqueued" in wm.columns:
+                self._next_seq = {
+                    r.domain: int(r.enqueued)
+                    for r in wm_rows if r.enqueued is not None
+                }
+        frontier = self.store.read_or_none("frontier")
+        if frontier is not None and "seq" not in frontier.columns:
+            # legacy (pre-seq) store: one-time migration assigning each row
+            # its permanent per-domain FIFO position
+            order = [F.col(c).asc() for c in DISCOVERY_ORDER]
+            w = Window.partitionBy("domain").orderBy(*order)
+            self.store.compact(
+                "frontier",
+                frontier.withColumn(
+                    "seq", F.row_number().over(w).cast("bigint")
+                ),
+            )
+            frontier = self.store.read("frontier")
+        if not self._next_seq and frontier is not None:
+            # externally seeded store (bench) or exact-mode history: rebuild
+            # the per-domain counters from one max-aggregation
+            self._next_seq = {
+                r.domain: int(r.m)
+                for r in frontier.groupBy("domain")
+                .agg(F.max("seq").alias("m")).collect()
+            }
         if self.cfg.neardup != "off" and self.store is not None:
             # sketch-scheme guard (see fingerprint.SKETCH_SCHEME): signatures
             # persisted under a different hash scheme are silently
@@ -281,8 +322,10 @@ class CrawlEngine:
 
     def seed(self, urls: list[str]) -> None:
         """Insert seed URLs (reference frontier.py:38-40); idempotent via
-        the same first-seen rule as discovered links."""
-        rows = []
+        the same first-seen rule as discovered links. seq is assigned after
+        the seen-filter so domains never carry gaps (a gap would waste one
+        politeness slot per epoch forever)."""
+        pre = []
         seen_local = set()
         for i, raw in enumerate(urls):
             url = urlkit.normalize(raw)
@@ -290,27 +333,34 @@ class CrawlEngine:
             if h in seen_local:
                 continue
             seen_local.add(h)
-            rows.append(
-                (h, url, urlkit.politeness_host(url), self._salt_of(url), None,
-                 -1, "", i, -1)
-            )
+            pre.append((h, url, urlkit.politeness_host(url), i))
         existing = self.store.read_or_none("seen")
-        if existing is not None:
-            df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
-            df = df.join(existing.select("url_hash"), "url_hash", "left_anti")
-            self.store.append("frontier", df)
-            self.store.append(
-                "seen", self.store.read_last_delta("frontier").select("url_hash")
+        if existing is not None and pre:
+            cand = self.spark.createDataFrame(
+                [(h,) for h, *_ in pre], "url_hash string"
             )
-        else:
-            names = [f.name for f in ARROW_SCHEMAS["frontier"]]
-            self.store.append_rows(
-                "frontier", [dict(zip(names, r)) for r in rows],
-                ARROW_SCHEMAS["frontier"],
+            fresh = {
+                r.url_hash
+                for r in cand.join(
+                    existing.select("url_hash"), "url_hash", "left_anti"
+                ).collect()
+            }
+            pre = [t for t in pre if t[0] in fresh]
+        rows = []
+        for h, url, dom, i in pre:
+            seq = self._next_seq.get(dom, 0) + 1
+            self._next_seq[dom] = seq
+            rows.append(
+                (h, url, dom, self._salt_of(url), None, -1, "", i, -1, seq)
             )
-            self.store.append_rows(
-                "seen", [{"url_hash": r[0]} for r in rows], ARROW_SCHEMAS["seen"]
-            )
+        names = [f.name for f in ARROW_SCHEMAS["frontier"]]
+        self.store.append_rows(
+            "frontier", [dict(zip(names, r)) for r in rows],
+            ARROW_SCHEMAS["frontier"],
+        )
+        self.store.append_rows(
+            "seen", [{"url_hash": r[0]} for r in rows], ARROW_SCHEMAS["seen"]
+        )
         if self._bloom is not None:
             self._bloom.add_many(r[0] for r in rows)
 
@@ -511,10 +561,12 @@ class CrawlEngine:
                 if h in round_new or not new_hash_flags.get(h, False):
                     continue
                 round_new.add(h)
+                seq = self._next_seq.get(link.domain, 0) + 1
+                self._next_seq[link.domain] = seq
                 new_frontier_rows.append(
                     (h, link.url, link.domain, self._salt_of(link.url),
                      row.doc_id or row.url, round_no, f"{pop_idx:08d}",
-                     link.pos, round_no)
+                     link.pos, round_no, seq)
                 )
                 dom = link.domain
                 if (
@@ -545,10 +597,19 @@ class CrawlEngine:
         wm_df = None
         if self._watermarks:
             wm_df = self.spark.createDataFrame(
-                list(self._watermarks.items()), WATERMARKS_SCHEMA
+                list(self._watermarks.items()), _WM_BROADCAST_SCHEMA
             )
-        dequeued = politeness_heads_watermarked(
-            self.store.read("frontier"), wm_df, tokens, salted=True
+        dequeued = politeness_heads_indexed(
+            self.store.read("frontier"), wm_df, tokens
+        )
+        # the filter-only dequeue preserves the frontier's file layout, and
+        # epoch deltas are domain-clustered (the seq window wrote them
+        # grouped by domain) — without a rebalance the hot domain's slice
+        # would ride into ONE fetch+parse task. Round-robin the small
+        # dequeued batch across the executors; its cost is trivial next to
+        # the parse it feeds.
+        dequeued = dequeued.repartition(
+            self.spark.sparkContext.defaultParallelism
         )
         parsed = self._fetch_and_parse(dequeued)
         parsed.persist()
@@ -624,13 +685,39 @@ class CrawlEngine:
             F.col("pos").alias("rk_pos"),
             F.lit(base).alias("epoch_added"),
         )
+        # permanent per-domain FIFO position: rank within THIS batch (a
+        # window over the epoch's new rows only — the full frontier is
+        # never re-ranked) offset by the domain's enqueue counter. Valid
+        # because rk_round is the epoch counter: every row of this batch
+        # sorts after every previously inserted row of its domain.
+        order = [F.col(c).asc() for c in DISCOVERY_ORDER]
+        w_batch = Window.partitionBy("domain").orderBy(*order)
+        offsets = self.spark.createDataFrame(
+            list(self._next_seq.items()) or [("", 0)],
+            "domain string, base_seq bigint",
+        )
+        new_rows = (
+            new_rows.withColumn("_brn", F.row_number().over(w_batch))
+            .join(F.broadcast(offsets), "domain", "left")
+            .withColumn(
+                "seq",
+                (F.coalesce(F.col("base_seq"), F.lit(0)) + F.col("_brn"))
+                .cast("bigint"),
+            )
+            .drop("_brn", "base_seq")
+            .select(*[f.name for f in ARROW_SCHEMAS["frontier"]])
+        )
         n_new = new_rows.count() if self.cfg.collect_metrics else -1
         self.store.append("frontier", new_rows)
         pt.mark("candidates+frontier-merge")
-        # the committed delta read-back is the cheap source for both the
-        # seen-table append and the bloom increment (avoids recomputing the
-        # candidate pipeline)
+        # the committed delta read-back is the cheap source for the seen
+        # append, the bloom increment, AND the enqueue-counter advance
+        # (avoids recomputing the candidate pipeline)
         delta = self.store.read_last_delta("frontier")
+        for r in delta.groupBy("domain").agg(F.max("seq").alias("m")).collect():
+            self._next_seq[r.domain] = max(
+                self._next_seq.get(r.domain, 0), int(r.m)
+            )
         self.store.append("seen", delta.select("url_hash"))
         if self._bloom is not None:
             inc = BloomFilter.build_from_df_with_shape(
@@ -720,7 +807,14 @@ class CrawlEngine:
             self._watermarks[r.domain] = self._watermarks.get(r.domain, 0) + int(r._add)
         self.store.overwrite_rows(
             "watermarks",
-            [{"domain": d, "served": s} for d, s in self._watermarks.items()],
+            [
+                {
+                    "domain": d,
+                    "served": self._watermarks.get(d, 0),
+                    "enqueued": self._next_seq.get(d, 0),
+                }
+                for d in set(self._watermarks) | set(self._next_seq)
+            ],
             ARROW_SCHEMAS["watermarks"],
         )
 
@@ -829,41 +923,29 @@ class CrawlEngine:
 
     def _compact_frontier_drop_served(self) -> None:
         """Relaxed-mode frontier compaction: rewrite the table without its
-        served prefix and rebase the watermarks to 0, so the dequeue window
-        never rescans completed rows (the seen table, not the frontier,
-        carries the all-time URL-seen membership). In production Iceberg
-        both rewrites commit in one multi-table transaction; here they are
-        two sequential manifest swaps."""
-        if not self._watermarks or not self.store.exists("frontier"):
-            if self.store.exists("frontier"):
-                self.store.compact("frontier")
+        served prefix, so frontier scans never reread completed rows (the
+        seen table, not the frontier, carries the all-time URL-seen
+        membership). seq is ABSOLUTE — the watermarks are untouched and the
+        filter `seq > served` stays correct whether or not this rewrite
+        lands, so a crash at any point between manifest swaps is safe by
+        construction (the round-1 version re-ranked positionally and had a
+        lost-rows crash window here; the permanent-seq design removes the
+        ordering constraint entirely)."""
+        if not self.store.exists("frontier"):
+            return
+        if not self._watermarks:
+            self.store.compact("frontier")
             return
         wm = self.spark.createDataFrame(
-            list(self._watermarks.items()), WATERMARKS_SCHEMA
+            list(self._watermarks.items()), _WM_BROADCAST_SCHEMA
         )
         frontier = self.store.read("frontier")
-        order = [F.col(c).asc() for c in DISCOVERY_ORDER]
-        w = Window.partitionBy("domain").orderBy(*order)
         remaining = (
             frontier.join(F.broadcast(wm), "domain", "left")
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") > F.coalesce(F.col("served"), F.lit(0)))
-            .drop("_rn", "served")
-        )
-        # Zero the persisted watermarks BEFORE compacting the frontier: a
-        # crash between the two manifest swaps then merely re-serves the
-        # already-served prefix (deduped by the completions/seen/prior-docs
-        # anti-joins — at-least-once). The reverse order would leave
-        # served=N against an already-trimmed frontier and silently skip N
-        # still-pending rows per domain. (`remaining` is computed from the
-        # in-memory watermarks, so the disk zeroing doesn't affect it.)
-        self.store.overwrite_rows(
-            "watermarks",
-            [{"domain": d, "served": 0} for d in self._watermarks],
-            ARROW_SCHEMAS["watermarks"],
+            .where(F.col("seq") > F.coalesce(F.col("served"), F.lit(0)))
+            .drop("served")
         )
         self.store.compact("frontier", remaining)
-        self._watermarks = {d: 0 for d in self._watermarks}
 
     def summary(self) -> dict:
         seen = self.store.read_or_none("seen")
