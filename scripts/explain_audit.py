@@ -24,6 +24,7 @@ SIGNALS = [
     ("BatchEvalPython", "ROW-AT-A-TIME PYTHON UDF (red flag)"),
     ("ArrowEvalPython", "arrow-batched pandas UDF"),
     ("MapInPandas", "mapInPandas stage"),
+    ("FlatMapGroupsInPandas", "applyInPandas (grouped Arrow) stage"),
     ("BroadcastHashJoin", "broadcast hash join"),
     ("SortMergeJoin", "sort-merge join"),
     ("BroadcastNestedLoopJoin", "broadcast nested-loop join"),

@@ -413,8 +413,15 @@ def extract_analyzer_text(payload: bytes) -> str:
     elements, and nav/footer/header subtrees, then join text nodes with
     single spaces (bs4 ``get_text(" ", strip=True)`` semantics)."""
     parser = _AnalyzerTextParser()
+    # HTML5 comment-end-bang: "--!>" closes a comment (libxml2 agrees, and
+    # the reference's extractor is bs4+libxml2). html.parser's comment
+    # scanner only matches "-->", so a "<!-- ... --!>" would swallow
+    # everything up to the next "-->" — found in the wild on real crawl
+    # pages (a hand-edited faculty homepage cost 518 visible tokens).
+    # Outside a comment the token is inert for text extraction, so a
+    # textual normalization is safe.
     try:
-        parser.feed(_decode_html(payload))
+        parser.feed(_decode_html(payload).replace("--!>", "-->"))
         parser.close()
     except Exception:
         return ""
@@ -447,7 +454,13 @@ def parse_page(payload: bytes, base_url: str) -> ParsedPage:
     """
     parser = _SpanHTMLParser()
     try:
-        parser.feed(payload.decode("utf-8", errors="replace"))
+        # "--!>" closes comments in HTML5 and libxml2 (the reference's
+        # parser); html.parser only recognizes "-->" — normalize so a
+        # malformed comment can't swallow page content (see
+        # extract_analyzer_text for the real-crawl case that motivated it)
+        parser.feed(
+            payload.decode("utf-8", errors="replace").replace("--!>", "-->")
+        )
         parser.close()
     except Exception:
         return ParsedPage()  # unparseable -> no links (scraper.py:219-222)

@@ -6,13 +6,16 @@ Spark analytics sources + analyzer extractor.
 Status of parity (also reproducible via scripts/golden_report_check.py):
 * unique_pages (8521), all 92 subdomain counts, and the longest page
   (https://cml.ics.uci.edu/category/aiml @ 24,057 words) match EXACTLY.
-* top-50 words: the word set and ranking match; 15 of 50 counts sit
-  within -7 of the published values (<=0.15% relative error, 34 tokens
-  total out of ~6.7M) — a residual bs4/lxml-vs-stdlib-parser tree
-  recovery difference not yet attributed to any single page or subtree
-  (subset/superset/3-combination searches over all removed subtrees came
-  up empty). The assertion bounds the drift at 8 counts per word so any
-  regression in the extractor fails loudly.
+* top-50 words: 48 of 50 counts match EXACTLY; 'data' and 'project' are
+  each -1 (2 tokens of ~6.7M). A ctypes-driven system-libxml2 oracle
+  (parsing every page with the reference's own HTML engine) shows the
+  SAME -1 on both words, i.e. the residue lives in the bs4 layer above
+  libxml2 at report-generation time, not in this extractor. The big
+  round-2 find via that oracle: HTML5's comment-end-bang ("--!>" closes
+  a comment; html.parser requires "-->"), which one faculty page used —
+  518 swallowed tokens, now normalized in the extractor. The assertion
+  bounds drift at 2 counts per word so any extractor regression fails
+  loudly.
 
 Set SPARK_GRAFT_GOLDEN=0 to skip (the full corpus is 426 MB of HTML;
 ~2-8 min depending on cores).
@@ -80,7 +83,9 @@ def test_top_words_within_tolerance(report, want):
         set(got) ^ set(ref)
     )  # same 50 words
     for w, c in ref.items():
-        assert abs(got[w] - c) <= 8, (w, got[w], c)
+        assert abs(got[w] - c) <= 2, (w, got[w], c)
+    exact = sum(1 for w, c in ref.items() if got[w] == c)
+    assert exact >= 48, f"only {exact}/50 counts exact"
 
 
 def test_pages_dir_scan_recovers_all_urls(spark):
