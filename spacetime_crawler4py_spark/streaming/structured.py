@@ -1,0 +1,163 @@
+"""Structured Streaming operators — the streaming twins of the batch
+event-analytics queries (``__spark_entry__.q_event_windows`` /
+``q_sessionize``), per the build brief: ``readStream`` →
+transformations → ``writeStream``, watermarks + windowed aggregations
+for late data, and ``applyInPandasWithState`` for custom stateful
+operators.
+
+The crawl engine itself maps streaming→batch deliberately (each epoch is
+one batch over snapshot tables — see epochs.py); these operators cover
+the *continuous* ingestion side a production pipeline runs next to the
+crawl: event streams landing in object storage, windowed rollups with
+bounded lateness, and gap-based sessionization with explicit state.
+
+All functions take a (possibly streaming) DataFrame and return a
+DataFrame — source/sink choice stays with the caller, so the same plan
+runs under ``readStream``+``availableNow`` in tests and a continuous
+trigger in production.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StructField, StructType,
+)
+
+__all__ = [
+    "streaming_event_windows",
+    "streaming_sessionize",
+    "SESSION_OUTPUT_SCHEMA",
+    "SESSION_STATE_SCHEMA",
+]
+
+
+def streaming_event_windows(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time windows with a lateness bound.
+
+    The watermark lets state for a window be dropped once event time has
+    advanced past window_end + watermark: events later than that are
+    discarded instead of reopening the window (the documented late-data
+    contract). Output matches the batch twin q_event_windows on closed
+    windows: (hour_unix, event_type, cnt, value_milli)."""
+    # event time must be TIMESTAMP (tz-aware); testdata lands as NTZ and
+    # the cast reads the session timezone — pin UTC like the batch twins
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1000)).cast("long").alias("value_milli"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w").getField("start")).alias("hour_unix"),
+            "event_type", "cnt", "value_milli",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("start_unix", LongType()),
+    StructField("end_unix", LongType()),
+])
+
+# (next session ordinal, last event epoch-seconds, open-session event
+# count, open-session start) — the entire per-user state, explicit and
+# replayable from a checkpoint
+SESSION_STATE_SCHEMA = StructType([
+    StructField("next_session", LongType()),
+    StructField("last_ts", LongType()),
+    StructField("open_count", LongType()),
+    StructField("open_start", LongType()),
+])
+
+
+def _make_session_fn(gap_s: int):
+    def fn(
+        key: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # inactivity flush: the open session closes with what it has
+            next_session, last_ts, open_count, open_start = state.get
+            state.remove()
+            if open_count:
+                yield pd.DataFrame(
+                    [(user_id, next_session, open_count, open_start, last_ts)],
+                    columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields],
+                )
+            return
+
+        if state.exists:
+            next_session, last_ts, open_count, open_start = state.get
+        else:
+            next_session, last_ts, open_count, open_start = 1, None, 0, 0
+
+        closed = []
+        for pdf in batches:
+            ts = (
+                pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000_000
+            ).to_numpy()
+            ts.sort()
+            for t in ts:
+                t = int(t)
+                if last_ts is not None and t - last_ts > gap_s:
+                    closed.append(
+                        (user_id, next_session, open_count, open_start, last_ts)
+                    )
+                    next_session += 1
+                    open_count = 0
+                if open_count == 0:
+                    open_start = t
+                open_count += 1
+                last_ts = t
+        state.update((next_session, last_ts, open_count, open_start))
+        # the open session flushes after gap_s of processing-time silence
+        state.setTimeoutDuration(gap_s * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields]
+            )
+
+    return fn
+
+
+def streaming_sessionize(
+    events: DataFrame, gap_s: int = 1800
+) -> DataFrame:
+    """Gap-based sessionization as an explicit stateful operator
+    (``applyInPandasWithState``): per-user state carries the open session
+    only; a session closes when a gap > gap_s appears in event time, or
+    when the user goes silent for gap_s of processing time (state
+    timeout). Emits one row per *closed* session — the streaming
+    complement of the batch window-plan sessionize (same session
+    ordinals for closed sessions)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_s),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,184 @@
+"""Structured Streaming twins: run the streaming operators over the real
+testdata events via a file source + availableNow trigger and compare
+against their batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacetime_crawler4py_spark.streaming.structured import (
+    streaming_event_windows,
+    streaming_sessionize,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_dir(events_batch, tmp_path_factory):
+    # the file stream source requires a directory
+    d = str(tmp_path_factory.mktemp("events_src") / "events")
+    events_batch.write.parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, events_batch, events_dir):
+    return spark.readStream.schema(events_batch.schema).parquet(events_dir)
+
+
+def _run_to_memory(df, name, tmp_path):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_windowed_agg_matches_batch(spark, events_batch, events_stream, tmp_path):
+    """Append mode emits a window once the watermark passes its end; after
+    an availableNow run the emitted rows must equal the batch rollup for
+    every window closed under the final watermark (max event time - 2h).
+    The still-open tail windows are exactly the difference."""
+    _run_to_memory(
+        streaming_event_windows(events_stream, watermark="2 hours"),
+        "win_stream", tmp_path,
+    )
+    got = {
+        (r.hour_unix, r.event_type, r.cnt, r.value_milli)
+        for r in spark.sql("SELECT * FROM win_stream").collect()
+    }
+    max_ts = events_batch.agg(
+        F.max(F.col("ts").cast("timestamp").cast("long"))
+    ).collect()[0][0]
+    watermark_cutoff = max_ts - 2 * 3600
+    rollup = (
+        events_batch.groupBy(
+            F.unix_timestamp(F.window("ts", "1 hour").getField("start"))
+            .alias("hour_unix"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1000)).cast("long").alias("value_milli"),
+        )
+        .collect()
+    )
+    want_closed = {
+        (r.hour_unix, r.event_type, r.cnt, r.value_milli)
+        for r in rollup
+        if r.hour_unix + 3600 <= watermark_cutoff
+    }
+    want_all = {
+        (r.hour_unix, r.event_type, r.cnt, r.value_milli) for r in rollup
+    }
+    assert want_closed <= got <= want_all and got
+    # nothing beyond the boundary ambiguity is missing
+    assert len(want_all) - len(got) <= len(want_all) - len(want_closed)
+
+
+def test_late_events_dropped_by_watermark(spark, events_batch, tmp_path):
+    """A record older than watermark behind the max event time must not
+    reopen its (already closed) window: stream the events in two files —
+    current data first, then a straggler 10 hours late."""
+    base = events_batch.orderBy("ts")
+    last_ts = base.agg(F.max("ts")).collect()[0][0]
+    src = str(tmp_path / "late_src")
+    on_time = base.where(F.col("ts") >= F.lit(last_ts) - F.expr("INTERVAL 12 HOURS"))
+    on_time.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "late_out")
+
+    def run_once():
+        # parquet sink: checkpoint-resumable (memory sink is not), output
+        # accumulates across runs
+        stream = spark.readStream.schema(events_batch.schema).parquet(src)
+        q = (
+            streaming_event_windows(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "late_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def emitted():
+        df = spark.read.parquet(out)
+        return df.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
+
+    # run 1: on-time data only — advances the checkpointed watermark to
+    # max_ts - 1h and emits every window closed under it
+    run_once()
+    got1 = emitted()
+    max_epoch = on_time.agg(
+        F.max(F.col("ts").cast("timestamp").cast("long"))
+    ).collect()[0][0]
+    cutoff = max_epoch - 3600
+    closed_on_time = on_time.where(
+        (F.floor(F.col("ts").cast("timestamp").cast("long") / 3600) + 1) * 3600
+        <= cutoff
+    ).count()
+    assert closed_on_time <= got1 <= on_time.count() and got1 > 0
+
+    # run 2 (same checkpoint): a straggler 10 hours below the persisted
+    # watermark must be DISCARDED — its window already finalized — so the
+    # cumulative output must not grow
+    late = (
+        on_time.orderBy("ts").limit(1)
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 10 HOURS"))
+        .withColumn("event_id", F.lit(999999))
+    )
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = emitted()
+    assert got2 == got1, f"late event leaked: {got1} -> {got2} emitted"
+
+
+def test_stateful_sessionize_closed_sessions_match_batch(
+    spark, events_batch, events_stream, tmp_path
+):
+    """applyInPandasWithState emits closed sessions; with the whole table
+    in one availableNow run, that is every session except each user's
+    final (still-open) one — compare against the batch window plan."""
+    _run_to_memory(streaming_sessionize(events_stream, 1800), "sess_stream", tmp_path)
+    got = {
+        (r.user_id, r.session_id, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_sec - F.lag(ts_sec).over(w)
+    batch = (
+        events_batch.withColumn(
+            "_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    last = batch.groupBy("user_id").agg(F.max("session_id").alias("session_id"))
+    closed_batch = batch.join(last, ["user_id", "session_id"], "left_anti")
+    want = {
+        (r.user_id, r.session_id, r.n_events) for r in closed_batch.collect()
+    }
+    assert got == want and got
