@@ -96,6 +96,46 @@ def test_relaxed_resume_equals_uninterrupted(spark, web, web_df, tmp_path):
     assert _sets(store_a) == _sets(store_b)
 
 
+def test_relaxed_compaction_resume(spark, web, web_df, tmp_path):
+    """Frontier compaction drops the served prefix while seq stays
+    absolute: an interrupted run that compacted every epoch must resume
+    to the same end state as an uninterrupted, never-compacting run —
+    and the compacted frontier must actually shrink (served rows gone)
+    without touching the watermarks."""
+    base_cfg = dict(ordering="relaxed", neardup="lsh", rounds_per_epoch=2,
+                    use_bloom=True)
+    store_a = SnapshotStore(spark, str(tmp_path / "ca"))
+    eng_a = CrawlEngine(spark, store_a, web_df, EngineConfig(**base_cfg))
+    eng_a.seed(web.seeds)
+    eng_a.run()
+
+    store_b = SnapshotStore(spark, str(tmp_path / "cb"))
+    eng_b1 = CrawlEngine(
+        spark, store_b, web_df, EngineConfig(**base_cfg, compact_every=1)
+    )
+    eng_b1.seed(web.seeds)
+    eng_b1.run(max_rounds=2)
+    n_frontier_rows = store_b.read("frontier").count()
+    n_seen = store_b.read("seen").count()
+    # the served prefix was dropped; the seen table keeps full membership
+    assert n_frontier_rows < n_seen
+    wm = {r.domain: r.served for r in store_b.read("watermarks").collect()}
+    assert any(v > 0 for v in wm.values())  # watermarks NOT rebased
+    del eng_b1
+    eng_b2 = CrawlEngine(
+        spark, store_b, web_df, EngineConfig(**base_cfg, compact_every=1)
+    )
+    eng_b2.run()
+
+    def _sets(store):
+        return (
+            {d.doc_id for d in store.read("documents").collect()},
+            {r.url_hash for r in store.read("seen").collect()},
+        )
+
+    assert _sets(store_a) == _sets(store_b)
+
+
 def test_snapshot_time_travel(spark, web, web_df, tmp_path):
     """Older manifest versions stay readable (Iceberg-snapshot semantics)."""
     store = SnapshotStore(spark, str(tmp_path / "tt"))
