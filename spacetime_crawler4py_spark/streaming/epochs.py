@@ -641,13 +641,23 @@ class CrawlEngine:
                 F.col("link.pos").alias("pos"),
             )
         )
-        first_w = Window.partitionBy("url_hash").orderBy(
-            "slot", "parent_domain", "pos"
-        )
+        # first-occurrence winner per url_hash via min_by on the discovery
+        # key: a hash aggregation with map-side partial combine, so the
+        # shuffle carries ~one row per distinct URL instead of every
+        # duplicate discovery (out_degree-fold at 10^10 scale). A window
+        # (row_number over url_hash) would shuffle all duplicates and sort
+        # each partition with no combine.
+        first_key = F.struct("slot", "parent_domain", "pos")
         firsts = (
-            cand.withColumn("_rn", F.row_number().over(first_w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+            cand.groupBy("url_hash")
+            .agg(
+                F.min_by(
+                    F.struct("url", "domain", "slot", "parent_domain",
+                             "parent", "pos"),
+                    first_key,
+                ).alias("_w")
+            )
+            .select("url_hash", "_w.*")
         )
         frontier_hashes = self.store.read("seen")
         flagged = None
