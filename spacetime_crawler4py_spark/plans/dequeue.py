@@ -1,17 +1,24 @@
 """Politeness dequeue: per-domain FIFO heads under a token budget.
 
-The reference's blocking heap scheduler (crawler/frontier.py:61-87) becomes
-a window-ranked selection: FIFO-per-domain is the deterministic discovery
-key ``(rk_round, rk_pop, rk_pos)``, the politeness budget is ``rank <=
-tokens`` (tokens = rounds in the batch; 1 URL per domain per politeness
-quantum, matching the 0.5 s delay floor at frontier.py:24).
+The reference's blocking heap scheduler (crawler/frontier.py:61-87) maps
+to three strategies, strongest first:
 
-Skew handling (north_rule: *.ics.uci.edu holds ~23% of URLs): a naive
-``Window.partitionBy(domain)`` puts the hottest domain in one task. The
-two-level rank first takes per-(domain, salt) local heads — parallel across
-S salt buckets — then re-ranks the ≤ S*tokens survivors per domain, so no
-task ever sees more than (its bucket's rows) in pass one or S*tokens rows
-in pass two.
+* ``politeness_heads_indexed`` — the scale path (round 2). Rows carry a
+  permanent per-domain FIFO position (``seq``); dequeue is the filter
+  ``served < seq <= served + tokens`` against the broadcast watermark
+  dim. No window, no shuffle, skew-immune.
+* ``politeness_heads_watermarked`` — the round-1 shape kept for
+  reference/back-compat: watermark-offset double window over the full
+  frontier (two-level salted rank bounds the hot-domain task).
+* ``politeness_heads`` — the exact parity mode's ranked selection over
+  the pending anti-join (small rounds, reference-identical ordering).
+
+FIFO-per-domain is the deterministic discovery key ``(rk_round, rk_pop,
+rk_pos)``; the politeness budget is tokens = rounds per batch (1 URL per
+domain per politeness quantum, matching the 0.5 s delay floor at
+frontier.py:24). Skew context (north_rule: *.ics.uci.edu holds ~23% of
+URLs): a naive ``Window.partitionBy(domain)`` puts the hottest domain in
+one task — the indexed path avoids per-domain partitioning entirely.
 """
 
 from __future__ import annotations
