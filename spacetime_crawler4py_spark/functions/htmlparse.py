@@ -413,15 +413,8 @@ def extract_analyzer_text(payload: bytes) -> str:
     elements, and nav/footer/header subtrees, then join text nodes with
     single spaces (bs4 ``get_text(" ", strip=True)`` semantics)."""
     parser = _AnalyzerTextParser()
-    # HTML5 comment-end-bang: "--!>" closes a comment (libxml2 agrees, and
-    # the reference's extractor is bs4+libxml2). html.parser's comment
-    # scanner only matches "-->", so a "<!-- ... --!>" would swallow
-    # everything up to the next "-->" — found in the wild on real crawl
-    # pages (a hand-edited faculty homepage cost 518 visible tokens).
-    # Outside a comment the token is inert for text extraction, so a
-    # textual normalization is safe.
     try:
-        parser.feed(_decode_html(payload).replace("--!>", "-->"))
+        parser.feed(_fix_comment_end_bang(_decode_html(payload)))
         parser.close()
     except Exception:
         return ""
@@ -441,6 +434,22 @@ def looks_like_xml(payload: bytes) -> bool:
     )
 
 
+# HTML5 comment-end-bang: "--!>" closes a comment (libxml2 — the
+# reference's bs4 backend — agrees). html.parser's comment scanner only
+# matches "-->", so "<!-- ... --!>" would swallow everything up to the
+# next "-->" — found in the wild on real crawl pages (a hand-edited
+# faculty homepage cost 518 visible tokens). Rewrite ONLY terminators of
+# an actually-open comment (no earlier "-->" between), so a literal
+# "--!>" in visible text survives into span documents unchanged.
+_COMMENT_END_BANG = re.compile(r"(<!--(?:(?!-->).)*?)--!>", re.DOTALL)
+
+
+def _fix_comment_end_bang(html: str) -> str:
+    if "--!>" not in html:  # hot path: the token is rare
+        return html
+    return _COMMENT_END_BANG.sub(r"\1-->", html)
+
+
 GATE_OK = "ok"
 
 
@@ -454,12 +463,8 @@ def parse_page(payload: bytes, base_url: str) -> ParsedPage:
     """
     parser = _SpanHTMLParser()
     try:
-        # "--!>" closes comments in HTML5 and libxml2 (the reference's
-        # parser); html.parser only recognizes "-->" — normalize so a
-        # malformed comment can't swallow page content (see
-        # extract_analyzer_text for the real-crawl case that motivated it)
         parser.feed(
-            payload.decode("utf-8", errors="replace").replace("--!>", "-->")
+            _fix_comment_end_bang(payload.decode("utf-8", errors="replace"))
         )
         parser.close()
     except Exception:

@@ -104,7 +104,14 @@ def subdomain_counts(urls: DataFrame, suffix: str = ".uci.edu") -> DataFrame:
 
 def longest_page(analyzed: DataFrame) -> DataFrame:
     """Max word_count over pages passing the >=20-token thin-page gate
-    (analyze_crawl.py:227-235); url tie-break for determinism."""
+    (analyze_crawl.py:227-235).
+
+    Tie-break: url ascending — a DOCUMENTED determinism choice, not
+    reference parity. The reference keeps the first page in manifest
+    iteration order ('>' comparison); on a tie this can pick a different
+    url. The golden corpus has a unique maximum, so the golden test is
+    unaffected; if exact tie parity ever matters, carry the manifest row
+    index as the tie-break key instead."""
     return (
         analyzed.where(F.col("word_count") >= 20)
         .orderBy(F.desc("word_count"), F.asc("url"))
@@ -115,7 +122,14 @@ def longest_page(analyzed: DataFrame) -> DataFrame:
 
 def top_words(analyzed: DataFrame, k: int = 50) -> DataFrame:
     """Top-k words after stopword+noise filtering over non-thin pages
-    (analyze_crawl.py:237-244)."""
+    (analyze_crawl.py:237-244).
+
+    Tie-break: count desc, then word ascending — a DOCUMENTED determinism
+    choice. The reference's Counter.most_common keeps first-inserted order
+    on equal counts, which depends on page iteration order; alphabetical
+    is stable under any partitioning. Rank-k boundary ties can therefore
+    admit a different word than the reference; equal-count sets are
+    identical."""
     stop = sorted(STOPWORDS | NOISE_WORDS)
     return (
         analyzed.where(F.col("word_count") >= 20)

@@ -252,14 +252,22 @@ class CrawlEngine:
                 ),
             )
             frontier = self.store.read("frontier")
-        if not self._next_seq and frontier is not None:
-            # externally seeded store (bench) or exact-mode history: rebuild
-            # the per-domain counters from one max-aggregation
-            self._next_seq = {
-                r.domain: int(r.m)
-                for r in frontier.groupBy("domain")
-                .agg(F.max("seq").alias("m")).collect()
-            }
+        if frontier is not None:
+            # ALWAYS max-merge the persisted enqueue counters with the
+            # frontier's actual per-domain max(seq). The epoch loop commits
+            # the frontier append (new seq values) BEFORE the watermark
+            # snapshot persists the counters, so a crash in that window
+            # leaves the snapshot stale; trusting it alone would reassign
+            # duplicate seq numbers (two rows sharing a politeness slot,
+            # later rows silently skipped by the served watermark). The
+            # merge also covers externally seeded stores (bench) and
+            # exact-mode history, where no snapshot exists at all.
+            for r in (
+                frontier.groupBy("domain").agg(F.max("seq").alias("m")).collect()
+            ):
+                self._next_seq[r.domain] = max(
+                    self._next_seq.get(r.domain, 0), int(r.m)
+                )
         if self.cfg.neardup != "off" and self.store is not None:
             # sketch-scheme guard (see fingerprint.SKETCH_SCHEME): signatures
             # persisted under a different hash scheme are silently

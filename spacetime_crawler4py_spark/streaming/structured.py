@@ -97,14 +97,26 @@ def _make_session_fn(gap_s: int):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.hasTimedOut:
-            # inactivity flush: the open session closes with what it has
+            # inactivity flush: the open session closes with what it has.
+            # The session ordinal must SURVIVE the flush — state.remove()
+            # would reset next_session to 1 when the user reappears,
+            # emitting a duplicate (user_id, session_id) key in append-mode
+            # output and breaking the batch-twin ordinal contract. Keep a
+            # tombstone state carrying only the advanced ordinal; the empty
+            # open session (open_count=0) emits nothing on a later timeout,
+            # and the refreshed timeout bounds how long the tombstone lives.
             next_session, last_ts, open_count, open_start = state.get
-            state.remove()
             if open_count:
+                state.update((next_session + 1, None, 0, 0))
+                state.setTimeoutDuration(gap_s * 1000)
                 yield pd.DataFrame(
                     [(user_id, next_session, open_count, open_start, last_ts)],
                     columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields],
                 )
+            else:
+                # ordinal-only tombstone timing out a second time: nothing
+                # left to protect, drop the state for real
+                state.remove()
             return
 
         if state.exists:

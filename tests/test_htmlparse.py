@@ -116,3 +116,37 @@ def test_xml_sniff_matches_reference_rule():
     assert looks_like_xml(b"<feed xmlns=...>")
     assert looks_like_xml(b"<html><urlset></html>")
     assert not looks_like_xml(b"<html><body>hi</body></html>")
+
+
+def test_comment_end_bang_closes_comment():
+    """HTML5 comment-end-bang: '<!-- ... --!>' terminates the comment, so
+    content after it must stay visible (the real-crawl 518-token case)."""
+    page = parse_page(
+        b"<html><body><p>before</p><!-- hidden --!><p>after words</p>"
+        b"</body></html>",
+        base_url="https://www.ics.uci.edu/",
+    )
+    assert "after words" in page.page_text
+    assert "hidden" not in page.page_text
+
+
+def test_literal_end_bang_outside_comment_preserved():
+    """The normalization is comment-scoped: a literal '--!>' in visible
+    text must survive into the stored span text unchanged (ADVICE r2)."""
+    page = parse_page(
+        b"<html><body><p>op is --!&gt; here</p>"
+        b"<p>raw --!> token</p></body></html>",
+        base_url="https://www.ics.uci.edu/",
+    )
+    assert "--!>" in page.page_text
+    assert "-->" not in page.page_text
+
+
+def test_end_bang_after_closed_comment_is_text():
+    """A '--!>' appearing after a properly closed comment is outside any
+    comment and must not be rewritten."""
+    page = parse_page(
+        b"<html><body><!-- a --> tail --!> text</body></html>",
+        base_url="https://www.ics.uci.edu/",
+    )
+    assert "--!>" in page.page_text

@@ -136,6 +136,72 @@ def test_relaxed_compaction_resume(spark, web, web_df, tmp_path):
     assert _sets(store_a) == _sets(store_b)
 
 
+def test_resume_with_stale_watermark_snapshot(spark, web, web_df, tmp_path):
+    """Crash window between the frontier append (commits new seq values)
+    and the watermark overwrite (persists the enqueued counters): a resume
+    must max-merge the stale snapshot with the frontier's actual per-domain
+    max(seq) — otherwise duplicate seq numbers get assigned and the served
+    watermark silently skips rows (ADVICE r2, medium).
+
+    neardup is OFF here on purpose: the served-watermark rollback makes the
+    resumed run replay one epoch, which merges two politeness quanta into
+    one and shifts later discovery rounds for already-established domains —
+    the URL-seen set and per-domain FIFO discipline are unaffected (asserted
+    below), but the 'earlier doc' relation inside a near-dup pair can flip,
+    legitimately keeping the other representative. With neardup off the
+    at-least-once replay is exactly idempotent and the full end state must
+    match the uninterrupted run."""
+    import shutil
+
+    cfg = dict(ordering="relaxed", neardup="off", rounds_per_epoch=2)
+    store_a = SnapshotStore(spark, str(tmp_path / "wa"))
+    eng_a = CrawlEngine(spark, store_a, web_df, EngineConfig(**cfg))
+    eng_a.seed(web.seeds)
+    eng_a.run()
+
+    store_b = SnapshotStore(spark, str(tmp_path / "wb"))
+    eng_b = CrawlEngine(spark, store_b, web_df, EngineConfig(**cfg))
+    eng_b.seed(web.seeds)
+    eng_b.run(max_rounds=1)
+    v_stale = store_b.current_version("watermarks")
+    eng_b.run(max_rounds=1)
+    del eng_b
+    # simulate the crash: frontier has epoch-2's rows committed, but the
+    # watermark snapshot is rolled back to its epoch-1 state
+    shutil.copyfile(
+        store_b._manifest_path("watermarks", v_stale),
+        store_b._manifest_path("watermarks"),
+    )
+
+    eng_b2 = CrawlEngine(spark, store_b, web_df, EngineConfig(**cfg))
+    # the rebuilt counters must reflect the frontier, not the stale snapshot
+    from pyspark.sql import functions as F
+
+    actual_max = {
+        r.domain: int(r.m)
+        for r in store_b.read("frontier")
+        .groupBy("domain").agg(F.max("seq").alias("m")).collect()
+    }
+    for dom, m in actual_max.items():
+        assert eng_b2._next_seq.get(dom, 0) >= m, (dom, m, eng_b2._next_seq)
+    eng_b2.run()
+
+    # no domain ever carries a duplicated politeness slot
+    dup_slots = (
+        store_b.read("frontier").groupBy("domain", "seq").count()
+        .where("count > 1").count()
+    )
+    assert dup_slots == 0
+
+    def _sets(store):
+        return (
+            {d.doc_id for d in store.read("documents").collect()},
+            {r.url_hash for r in store.read("seen").collect()},
+        )
+
+    assert _sets(store_a) == _sets(store_b)
+
+
 def test_snapshot_time_travel(spark, web, web_df, tmp_path):
     """Older manifest versions stay readable (Iceberg-snapshot semantics)."""
     store = SnapshotStore(spark, str(tmp_path / "tt"))

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from spacetime_crawler4py_spark.streaming.structured import (
+    _make_session_fn,
     streaming_event_windows,
     streaming_sessionize,
 )
@@ -182,3 +183,82 @@ def test_stateful_sessionize_closed_sessions_match_batch(
         (r.user_id, r.session_id, r.n_events) for r in closed_batch.collect()
     }
     assert got == want and got
+
+
+class _FakeGroupState:
+    """Drives _make_session_fn's state contract without a streaming query
+    (the availableNow e2e test above never reaches the processing-time
+    timeout branch)."""
+
+    def __init__(self):
+        self._value = None
+        self.hasTimedOut = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = tuple(value)
+
+    def remove(self):
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _feed(fn, state, ts_list):
+    import pandas as pd
+
+    batches = iter([pd.DataFrame({"ts": pd.to_datetime(ts_list, unit="s")})])
+    return [
+        tuple(t) for out in fn((7,), batches, state)
+        for t in out.itertuples(index=False)
+    ]
+
+
+def _timeout(fn, state):
+    state.hasTimedOut = True
+    rows = [
+        tuple(t) for out in fn((7,), iter([]), state)
+        for t in out.itertuples(index=False)
+    ]
+    state.hasTimedOut = False
+    return rows
+
+
+def test_sessionize_timeout_flush_preserves_ordinal():
+    """A processing-time timeout flush must close the open session WITHOUT
+    resetting the per-user session ordinal: when the user reappears, the
+    next session continues the numbering (no duplicate (user, session_id)
+    keys in append-mode output)."""
+    fn = _make_session_fn(1800)
+    state = _FakeGroupState()
+
+    # two event-time sessions in one batch: session 1 closes, session 2 open
+    closed = _feed(fn, state, [1000, 1100, 10000])
+    assert closed == [(7, 1, 2, 1000, 1100)]
+    assert state.get[0] == 2  # next_session
+
+    # inactivity timeout: flushes open session 2, ordinal survives
+    flushed = _timeout(fn, state)
+    assert flushed == [(7, 2, 1, 10000, 10000)]
+    assert state.exists and state.get == (3, None, 0, 0)
+    assert state.timeout_set == 1800 * 1000
+
+    # the user reappears: new session numbered 3, not 1
+    closed2 = _feed(fn, state, [20000, 20010, 30000])
+    assert closed2 == [(7, 3, 2, 20000, 20010)]
+
+    # flush session 4, then a second timeout on the empty tombstone drops
+    # the state entirely
+    flushed2 = _timeout(fn, state)
+    assert flushed2 == [(7, 4, 1, 30000, 30000)]
+    assert _timeout(fn, state) == []
+    assert not state.exists
