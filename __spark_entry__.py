@@ -441,41 +441,70 @@ def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.select("doc_id", udf_canonicalize(F.col("raw")).alias("canon"))
 
 
-# (host, disallowed path prefix) — the north_star robots gate as data.
+# (host, path pattern, allow) — the north_star robots gate as data,
+# exercising RFC 9309 semantics: plain Disallow prefixes, an Allow
+# override that out-specifies its Disallow, a '*' wildcard with a '$'
+# end anchor, and an exact-path anchored Allow.
 ROBOTS_RULES = [
-    ("www.ics.uci.edu", "/wp-json"),
-    ("www.cs.uci.edu", "/events"),
-    ("www.informatics.uci.edu", "/list"),
-    ("www.stat.uci.edu", "/blog"),
+    ("www.ics.uci.edu", "/wp-json", False),
+    ("www.cs.uci.edu", "/events", False),
+    ("www.cs.uci.edu", "/events/day/", True),
+    ("www.informatics.uci.edu", "/list", False),
+    ("www.informatics.uci.edu", "/*.pdf$", False),
+    ("www.stat.uci.edu", "/blog", False),
+    ("www.stat.uci.edu", "/blog/page/500/$", True),
 ]
+
+
+def _robots_rule_rows() -> list[tuple]:
+    """ROBOTS_RULES + the derived (regex, priority) the gate evaluates.
+    rule_pattern_regex emits a dialect-portable anchored regex (same
+    meaning under Java regex / RE2 / Python re), so the Spark plan and
+    the DuckDB oracle share one compilation rule. Priority encodes RFC
+    9309 §2.2.2 precedence as a scalar: longest pattern wins, Allow wins
+    length ties."""
+    from spacetime_crawler4py_spark.functions.robots import rule_pattern_regex
+
+    return [
+        (h, p, allow, rule_pattern_regex(p), len(p) * 2 + int(allow))
+        for (h, p, allow) in ROBOTS_RULES
+    ]
 
 
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain robots.txt gating (north_star addition; the reference
-    delegates robots to its cache server — see oracle/pycrawler.py
-    robots_allows). A URL passes unless some rule for its host is a path
-    prefix. Rules are a broadcast dim table; the probe is a native
-    exists() over the joined rule set — no Python in the hot path."""
+    delegates robots to its cache server — see functions/robots.py).
+    RFC 9309 evaluation: among the host's rules matching the URL path
+    (wildcard patterns precompiled to regexes in the broadcast dim), the
+    most specific (longest, Allow on ties — the scalar prio) decides;
+    no matching rule means allowed. All JVM-native: a broadcast join,
+    RLIKE, and one max_by aggregation — no Python in the hot path."""
     urls = _synth_urls(spark, sf_dir)
     parted = urls.select(
         "doc_id", "url",
         F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
         F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
     )
-    rules = spark.createDataFrame(ROBOTS_RULES, "host string, prefix string")
-    rules_agg = rules.groupBy("host").agg(
-        F.collect_list("prefix").alias("prefixes")
+    rules = spark.createDataFrame(
+        _robots_rule_rows(),
+        "host string, pattern string, allow boolean, regex string, prio int",
     )
+    # one broadcast join + one hash aggregation (map-side combine), no
+    # re-join of the verdict: non-matching (and rule-less, left-join-null)
+    # rows carry a null ordering key, which max_by ignores, and a URL with
+    # no matching rule at all falls through to the allowed default
+    matched = F.expr("path RLIKE regex")
     return (
-        parted.join(F.broadcast(rules_agg), "host", "left")
-        .select(
-            "doc_id", "url",
-            (~F.coalesce(
-                F.exists(
-                    "prefixes", lambda p: F.col("path").startswith(p)
+        parted.join(F.broadcast(rules), "host", "left")
+        .groupBy("doc_id", "url")
+        .agg(
+            F.coalesce(
+                F.max_by(
+                    F.when(matched, F.col("allow")),
+                    F.when(matched, F.col("prio")),
                 ),
-                F.lit(False),
-            )).alias("allowed"),
+                F.lit(True),
+            ).alias("allowed")
         )
         .orderBy("doc_id")
     )
@@ -911,15 +940,22 @@ def oracle_sql() -> dict[str, str]:
             ),
             r AS (
               SELECT * FROM (VALUES
-                {", ".join(f"('{h}', '{p}')" for h, p in ROBOTS_RULES)}
-              ) AS t(host, prefix)
+                {", ".join(
+                    f"('{h}', '{p}', {str(bool(a)).upper()}, '{rx}', {prio})"
+                    for (h, p, a, rx, prio) in _robots_rule_rows()
+                )}
+              ) AS t(host, pattern, allow, regex, prio)
+            ),
+            m AS (
+              SELECT parts.doc_id, arg_max(r.allow, r.prio) AS rule_allow
+              FROM parts JOIN r
+                ON r.host = parts.host
+               AND regexp_matches(parts.path, r.regex)
+              GROUP BY parts.doc_id
             )
-            SELECT doc_id, url,
-                   NOT EXISTS (SELECT 1 FROM r
-                               WHERE r.host = parts.host
-                                 AND starts_with(parts.path, r.prefix))
-                   AS allowed
-            FROM parts ORDER BY doc_id
+            SELECT parts.doc_id, parts.url,
+                   coalesce(m.rule_allow, TRUE) AS allowed
+            FROM parts LEFT JOIN m USING (doc_id) ORDER BY doc_id
         """,
         "near_dup_flags": f"""
             WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents),

@@ -1,50 +1,142 @@
-"""robots.txt parsing into the rules-dict shape the crawl gate consumes.
+"""robots.txt parsing + rule evaluation for the crawl gate.
 
 The reference crawler delegates robots handling to its course cache server
 and ships no parser (SURVEY §2; the north_star adds the gate). Here:
 
-* ``parse_robots_txt``   — one robots.txt body -> disallow path prefixes
-  for a given agent, RFC 9309 group selection (most-specific matching
-  user-agent group wins; ``*`` is the fallback), comment stripping, and
-  the same %-unquoting normalization ``urllib.robotparser`` applies, so
-  the resulting gate is differential-testable against the stdlib.
+* ``parse_robots_txt``   — one robots.txt body -> the ordered Allow /
+  Disallow rule list for a given agent (RFC 9309 group selection).
+* ``robots_allows``      — evaluate a ``{host: [rule, ...]}`` dict for a
+  URL with RFC 9309 §2.2.2 precedence: the MOST SPECIFIC matching rule
+  (longest pattern in octets) wins; on a tie the least restrictive
+  (Allow) wins; no match -> allowed. ``*`` matches any character
+  sequence and a trailing ``$`` anchors the pattern at the path end.
 * ``build_robots_rules`` — DataFrame of fetched ``/robots.txt`` payloads
-  -> ``{host: [prefix, ...]}``, the broadcast dim the engine's link gate
-  probes (oracle/pycrawler.robots_allows, plans/parse_stage.py).
+  -> ``{host: [rule, ...]}``, the broadcast dim the engine's link gate
+  probes (plans/parse_stage.py).
 
-Scope note: the gate models Disallow prefixes only (no Allow overrides,
-no wildcards) — matching ``urllib.robotparser``'s prefix semantics for
-rule sets without Allow lines, which the differential test enforces.
+Rule encoding: each rule is a string whose first character tags it —
+``"+<pattern>"`` = Allow, ``"-<pattern>"`` = Disallow. A bare pattern
+(no tag) is accepted as a Disallow prefix for back-compat with the
+round-2 prefix-only rule dicts.
+
+Semantics contract (documented divergences from ``urllib.robotparser``,
+the differential oracle in tests/test_robots.py): this module implements
+RFC 9309 — (a) rule precedence is longest-match, not file-order
+first-match, so ``Disallow: /`` + ``Allow: /public/`` allows
+``/public/x`` regardless of line order; (b) repeated groups naming the
+same user-agent are MERGED (RFC 9309 §2.2.1), while robotparser keeps
+only the first; (c) ``*``/``$`` wildcards are honored, which robotparser
+treats as literal characters. Group selection matches robotparser where
+they agree: the agent product token (the part before ``/``) is matched
+case-insensitively by substring, the longest matching token wins, and
+``*`` is the fallback. The differential test runs robotparser over the
+corpus subset where both semantics coincide and pins the RFC examples
+explicitly where they do not.
 """
 
 from __future__ import annotations
 
-from urllib.parse import quote, unquote
+import re
+from functools import lru_cache
+from urllib.parse import quote, unquote, urlparse
 
 from pyspark.sql import DataFrame
 
-__all__ = ["parse_robots_txt", "build_robots_rules"]
+__all__ = [
+    "parse_robots_txt",
+    "build_robots_rules",
+    "robots_allows",
+    "rule_pattern_regex",
+]
 
 
-def _norm_path(path: str) -> str:
-    """robotparser's normalization: unquote then re-quote, preserving the
-    path/query split character."""
-    return quote(unquote(path))
+def _norm_pattern(pattern: str) -> str:
+    """robotparser's normalization (unquote then re-quote) with the
+    wildcard metacharacters kept intact."""
+    return quote(unquote(pattern), safe="/*$")
+
+
+def _probe_path(url: str) -> str:
+    """The normalized probe robotparser's can_fetch builds: path+query of
+    the unquoted URL, re-quoted; '/' when empty."""
+    p = urlparse(unquote(url))
+    probe = p.path
+    if p.query:
+        probe += "?" + p.query
+    return quote(probe) or "/"
+
+
+def rule_pattern_regex(pattern: str) -> str:
+    """Translate a robots path pattern into an anchored regex string that
+    means the same thing in Python ``re``, Java regex (Spark RLIKE), and
+    RE2 (DuckDB): ``*`` -> ``.*``, trailing ``$`` -> end anchor, every
+    other character literal. Used by both the Python gate and the
+    DataFrame robots_gate contract query, so the three engines share one
+    compilation rule."""
+    body = pattern
+    anchored = body.endswith("$")
+    if anchored:
+        body = body[:-1]
+    parts = [re.escape(seg) for seg in body.split("*")]
+    return "^" + ".*".join(parts) + ("$" if anchored else "")
+
+
+@lru_cache(maxsize=4096)
+def _compiled(pattern: str):
+    return re.compile(rule_pattern_regex(pattern))
+
+
+def _rule_matches(pattern: str, path: str) -> bool:
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)  # plain prefix: no regex needed
+    return _compiled(pattern).match(path) is not None
+
+
+def _split_rule(rule: str) -> tuple[bool, str]:
+    """-> (allow, pattern). Untagged legacy rules are Disallow prefixes."""
+    if rule.startswith("+"):
+        return True, rule[1:]
+    if rule.startswith("-"):
+        return False, rule[1:]
+    return False, rule
+
+
+def robots_allows(robots: dict[str, list[str]] | None, url: str) -> bool:
+    """RFC 9309 §2.2.2 evaluation of the host's rule list for ``url``.
+
+    Longest matching pattern wins; Allow wins ties; no match -> allowed.
+    A missing host or empty rules dict -> allowed (the reference fetches
+    everything its cache server hands back; the gate is additive)."""
+    if not robots:
+        return True
+    rules = robots.get(urlparse(url).netloc)
+    if not rules:
+        return True
+    path = _probe_path(url)
+    best_len = -1
+    best_allow = True
+    for rule in rules:
+        allow, pattern = _split_rule(rule)
+        if not pattern or not _rule_matches(pattern, path):
+            continue
+        plen = len(pattern)
+        if plen > best_len or (plen == best_len and allow and not best_allow):
+            best_len = plen
+            best_allow = allow
+    return best_allow if best_len >= 0 else True
 
 
 def parse_robots_txt(content: str, agent: str = "*") -> list[str]:
-    """Disallow prefixes applying to ``agent``.
+    """Ordered Allow/Disallow rules applying to ``agent`` ("+"/"-" tags).
 
     Group selection per RFC 9309: every user-agent line (product token,
-    case-insensitive) opens/extends a group; the group whose agent token
-    is the longest one contained in ``agent`` wins, with ``*`` as the
-    fallback. Empty Disallow values (allow-all) contribute nothing."""
-    agent = agent.lower()
+    case-insensitive) opens/extends a group; groups naming the same token
+    are merged; the group whose token is the longest one contained in the
+    agent's product name (the part before '/', lowercased — robotparser's
+    applies_to rule) wins, with ``*`` as the fallback. Empty rule values
+    contribute nothing (an empty Disallow is allow-all per RFC)."""
+    agent_name = agent.split("/")[0].lower()
     groups: dict[str, list[str]] = {}
-    # groups where an empty Disallow appeared: robotparser turns it into an
-    # allow-all rule, and rule evaluation is first-match-wins, so any later
-    # Disallow in that group is unreachable
-    sealed: set[str] = set()
     current_agents: list[str] = []
     last_was_agent = False
     for raw in content.splitlines():
@@ -61,27 +153,22 @@ def parse_robots_txt(content: str, agent: str = "*") -> list[str]:
             current_agents.append(token)
             groups.setdefault(token, [])
             last_was_agent = True
-        elif key == "disallow":
+        elif key in ("disallow", "allow"):
             last_was_agent = False
-            if not current_agents:
+            if not current_agents or not val:
                 continue
-            if not val:
-                sealed.update(current_agents)
-                continue
-            prefix = _norm_path(val)
+            tag = "+" if key == "allow" else "-"
+            rule = tag + _norm_pattern(val)
             for tok in current_agents:
-                if tok not in sealed:
-                    groups.setdefault(tok, []).append(prefix)
+                groups.setdefault(tok, []).append(rule)
         else:
             last_was_agent = False
 
     if not groups:
         return []
-    # most specific matching token: longest token that is a substring of
-    # the agent product name (robotparser's applies_to rule), else '*'
     best = None
     for tok in groups:
-        if tok != "*" and tok in agent:
+        if tok != "*" and tok in agent_name:
             if best is None or len(tok) > len(best):
                 best = tok
     if best is None and "*" in groups:
@@ -98,13 +185,13 @@ def build_robots_rules(
     """Fetched ``/robots.txt`` payloads -> the gate's rules dict.
 
     Parsing runs as an Arrow stage on the executors; only the (host,
-    prefixes) pairs — one narrow row per host, the natural broadcast dim —
+    rules) pairs — one narrow row per host, the natural broadcast dim —
     come back to build the dict the per-link gate probes."""
     import pandas as pd
 
     def stage(batches):
         for pdf in batches:
-            hosts, prefixes = [], []
+            hosts, rules_out = [], []
             for row in pdf.itertuples(index=False):
                 payload = getattr(row, payload_col)
                 if payload is None:
@@ -116,17 +203,17 @@ def build_robots_rules(
                 rules = parse_robots_txt(text, agent=agent)
                 if rules:
                     hosts.append(getattr(row, host_col))
-                    prefixes.append(rules)
+                    rules_out.append(rules)
             yield pd.DataFrame(
                 {
                     # object dtype keeps empty batches Arrow-convertible to
                     # list<string> (a bare empty list infers float64)
                     "host": pd.Series(hosts, dtype=object),
-                    "prefixes": pd.Series(prefixes, dtype=object),
+                    "rules": pd.Series(rules_out, dtype=object),
                 }
             )
 
     parsed = robots_pages.select(host_col, payload_col).mapInPandas(
-        stage, schema="host string, prefixes array<string>"
+        stage, schema="host string, rules array<string>"
     )
-    return {r.host: list(r.prefixes) for r in parsed.collect()}
+    return {r.host: list(r.rules) for r in parsed.collect()}

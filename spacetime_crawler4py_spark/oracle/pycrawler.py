@@ -37,22 +37,15 @@ __all__ = ["OracleCrawler", "OracleResult", "robots_allows"]
 
 
 def robots_allows(robots: dict[str, list[str]] | None, url: str) -> bool:
-    """Minimal robots gate (north_star addition; the reference delegates
-    robots to its cache server and has no implementation): a URL is blocked
-    when its path starts with any disallowed prefix for its netloc. The
-    probed path gets the same quote(unquote()) normalization
-    ``urllib.robotparser.can_fetch`` applies, so '/a b/' and '/a%20b/'
-    probe identically (differential-tested in test_robots.py)."""
-    if not robots:
-        return True
-    from urllib.parse import quote, unquote, urlparse
+    """Robots gate (north_star addition; the reference delegates robots to
+    its cache server and has no implementation). Delegates to
+    functions.robots.robots_allows: RFC 9309 longest-match precedence over
+    Allow/Disallow rules with ``*``/``$`` wildcard support, plus
+    back-compat for bare Disallow-prefix rule lists. Kept as a re-export
+    so the engine, the oracle crawler, and the tests share one gate."""
+    from ..functions.robots import robots_allows as _allows
 
-    p = urlparse(url)
-    prefixes = robots.get(p.netloc)
-    if not prefixes:
-        return True
-    path = quote(unquote(p.path)) or "/"
-    return not any(path.startswith(prefix) for prefix in prefixes)
+    return _allows(robots, url)
 
 
 @dataclass

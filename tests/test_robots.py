@@ -1,6 +1,16 @@
-"""robots.txt parsing: differential vs urllib.robotparser (the stdlib
-reference implementation for Disallow-prefix semantics) plus the
-DataFrame rules builder and the engine's link gate end to end."""
+"""robots.txt parsing and RFC 9309 evaluation.
+
+Three layers of evidence:
+
+1. Differential vs ``urllib.robotparser`` over a corpus restricted to
+   bodies where stdlib first-match-in-file-order semantics and RFC 9309
+   longest-match semantics coincide (Allow lines precede any overlapping
+   shorter Disallow; no wildcards — robotparser treats them literally).
+2. Pinned RFC 9309 §2.2.2-style cases covering exactly the divergences:
+   longest-match independence from line order, Allow-wins-ties, ``*``
+   and ``$`` wildcards, and empty-Disallow handling.
+3. The DataFrame rules builder + the engine's link gate end to end.
+"""
 
 from __future__ import annotations
 
@@ -11,9 +21,13 @@ import pytest
 from spacetime_crawler4py_spark.functions.robots import (
     build_robots_rules,
     parse_robots_txt,
+    robots_allows,
+    rule_pattern_regex,
 )
-from spacetime_crawler4py_spark.oracle.pycrawler import robots_allows
 
+# bodies where robotparser (first-match, file order) and RFC 9309
+# (longest-match) agree on every probe below: overlapping rules are
+# ordered most-specific-first and wildcards are absent
 ROBOTS_BODIES = [
     # plain single group
     "User-agent: *\nDisallow: /wp-admin\nDisallow: /search\n",
@@ -25,15 +39,20 @@ ROBOTS_BODIES = [
     ),
     # stacked agents sharing one group
     "User-agent: a\nUser-agent: spacetime\nDisallow: /shared\n",
-    # comments, blank disallow (allow-all), mixed case keys
-    (
-        "# banner comment\nUser-Agent: *   # trailing\n"
-        "Disallow:\nDisallow: /cgi-bin/ # block cgi\n"
-    ),
+    # comments, blank disallow alone (allow-all), mixed case keys
+    "# banner comment\nUser-Agent: *   # trailing\nDisallow:\n",
     # percent-encoded path
     "User-agent: *\nDisallow: /a%20b/\n",
     # disallow everything
     "User-agent: *\nDisallow: /\n",
+    # Allow override listed before the broader Disallow (the common
+    # wp-admin idiom) — both engines allow the carve-out
+    (
+        "User-agent: *\nAllow: /wp-admin/admin-ajax.php\n"
+        "Disallow: /wp-admin/\n"
+    ),
+    # Allow-first full-site lockout with a public carve-out
+    "User-agent: *\nAllow: /public/\nDisallow: /\n",
     # no matching group for us
     "User-agent: otherbot\nDisallow: /other\n",
     # empty file
@@ -43,8 +62,9 @@ ROBOTS_BODIES = [
 PROBE_PATHS = [
     "/", "/index.html", "/wp-admin", "/wp-admin/x", "/search?q=1",
     "/google-only/x", "/private", "/private/x", "/privateer", "/tmp/",
-    "/tmp/x", "/tmpfile", "/shared/doc", "/cgi-bin/", "/cgi-bin/run",
-    "/a b/c", "/a%20b/c", "/everything/z", "/other/page",
+    "/tmp/x", "/tmpfile", "/shared/doc", "/a b/c", "/a%20b/c",
+    "/everything/z", "/other/page", "/public/", "/public/page",
+    "/wp-admin/admin-ajax.php", "/wp-admin/options.php",
 ]
 
 
@@ -53,19 +73,134 @@ PROBE_PATHS = [
 def test_parse_matches_robotparser(body, agent):
     rp = urllib.robotparser.RobotFileParser()
     rp.parse(body.splitlines())
-    prefixes = parse_robots_txt(body, agent=agent)
-    rules = {"example.org": prefixes} if prefixes else None
+    rules = parse_robots_txt(body, agent=agent)
+    gate = {"example.org": rules} if rules else None
     for path in PROBE_PATHS:
         url = f"https://example.org{path}"
-        got = robots_allows(rules, url)
+        got = robots_allows(gate, url)
         want = rp.can_fetch(agent, url)
         assert got == want, (body, agent, path, got, want)
 
 
+# ---------------------------------------------------------------------------
+# RFC 9309 semantics the stdlib does NOT implement — pinned expectations.
+# ---------------------------------------------------------------------------
+
+def _gate(body: str, agent: str = "spacetime"):
+    rules = parse_robots_txt(body, agent=agent)
+    return {"example.org": rules}
+
+
+def _allowed(body: str, path: str) -> bool:
+    return robots_allows(_gate(body), f"https://example.org{path}")
+
+
+def test_longest_match_beats_file_order():
+    """RFC 9309 §2.2.2: precedence comes from rule specificity, not line
+    order — robotparser would block /public/x here (Disallow listed
+    first matches first)."""
+    body = "User-agent: *\nDisallow: /\nAllow: /public/\n"
+    assert _allowed(body, "/public/x") is True
+    assert _allowed(body, "/private") is False
+    # the reverse order gives the same verdicts
+    body_rev = "User-agent: *\nAllow: /public/\nDisallow: /\n"
+    assert _allowed(body_rev, "/public/x") is True
+    assert _allowed(body_rev, "/private") is False
+
+
+def test_allow_wins_length_ties():
+    body = "User-agent: *\nDisallow: /page\nAllow: /page\n"
+    assert _allowed(body, "/page") is True
+    assert _allowed(body, "/pages/2") is True
+
+
+def test_more_specific_disallow_beats_shorter_allow():
+    body = "User-agent: *\nAllow: /folder\nDisallow: /folder/secret\n"
+    assert _allowed(body, "/folder/open") is True
+    assert _allowed(body, "/folder/secret") is False
+    assert _allowed(body, "/folder/secrets") is False
+
+
+def test_star_wildcard_matches_any_sequence():
+    body = "User-agent: *\nDisallow: /*.php\n"
+    assert _allowed(body, "/index.php") is False
+    assert _allowed(body, "/folder/any.php?q=1") is False
+    assert _allowed(body, "/index.html") is True
+
+
+def test_dollar_anchors_at_end():
+    body = "User-agent: *\nDisallow: /*.php$\n"
+    assert _allowed(body, "/index.php") is False
+    assert _allowed(body, "/index.php?x=1") is True  # query breaks the anchor
+    assert _allowed(body, "/index.phpx") is True
+
+
+def test_wildcard_allow_override():
+    body = (
+        "User-agent: *\nDisallow: /media/\n"
+        "Allow: /media/*/thumb.jpg$\n"
+    )
+    assert _allowed(body, "/media/a/b/thumb.jpg") is True
+    assert _allowed(body, "/media/a/b/full.jpg") is False
+
+
+def test_empty_disallow_then_disallow_is_rfc_not_robotparser():
+    """'Disallow:' (empty) is allow-all per RFC — it contributes no rule,
+    so a later Disallow still applies. robotparser diverges here (its
+    empty-disallow rule matches everything first), which is why this body
+    is pinned instead of differential."""
+    body = "User-agent: *\nDisallow:\nDisallow: /cgi-bin/\n"
+    assert _allowed(body, "/cgi-bin/run") is False
+    assert _allowed(body, "/index.html") is True
+
+
+def test_repeated_groups_merge_per_rfc():
+    """RFC 9309 §2.2.1: groups naming the same agent merge (robotparser
+    keeps only the first '*' group — documented divergence)."""
+    body = (
+        "User-agent: *\nDisallow: /a\n\n"
+        "User-agent: *\nDisallow: /b\n"
+    )
+    assert _allowed(body, "/a/x") is False
+    assert _allowed(body, "/b/x") is False
+    assert _allowed(body, "/c") is True
+
+
+def test_agent_product_token_split():
+    """The agent is matched on its product name (before '/'), per
+    robotparser's applies_to."""
+    body = "User-agent: spacetime\nDisallow: /x\n"
+    assert robots_allows(
+        {"example.org": parse_robots_txt(body, agent="spacetime/2.1")},
+        "https://example.org/x/y",
+    ) is False
+
+
+def test_rule_pattern_regex_portable():
+    """The shared pattern compiler emits what all three engines read the
+    same way."""
+    assert rule_pattern_regex("/plain") == "^/plain"
+    assert rule_pattern_regex("/*.pdf$") == "^/.*\\.pdf$"
+    assert rule_pattern_regex("/a*b*c") == "^/a.*b.*c"
+
+
+def test_legacy_bare_prefix_rules_still_gate():
+    """Round-2 rule dicts were bare Disallow prefixes; the evaluator
+    keeps accepting them."""
+    rules = {"example.org": ["/private"]}
+    assert robots_allows(rules, "https://example.org/private/x") is False
+    assert robots_allows(rules, "https://example.org/pub") is True
+
+
+# ---------------------------------------------------------------------------
+# DataFrame builder + engine e2e
+# ---------------------------------------------------------------------------
+
 def test_engine_gates_links_with_fetched_robots(spark, tmp_path):
     """Full flow: /robots.txt payloads come out of the fetch oracle, the
     DataFrame builder parses them into the rules dict, and the crawl's
-    link gate keeps disallowed paths out of the frontier/seen set."""
+    link gate keeps disallowed paths out of the frontier/seen set while
+    honoring the more specific Allow carve-out."""
     from pyspark.sql import functions as F
 
     from spacetime_crawler4py_spark.sources.store import SnapshotStore
@@ -76,22 +211,23 @@ def test_engine_gates_links_with_fetched_robots(spark, tmp_path):
         b"<html><body>"
         b'<a href="/about/team">team</a> '
         b'<a href="/private/secrets">secrets</a> '
-        b'<a href="/private/more">more</a> '
+        b'<a href="/private/pub/ok">carved out</a> '
         b"twenty words of body text follow: "
         + b"word " * 20 + b"</body></html>"
     )
     sub = b"<html><body>about page " + b"filler " * 25 + b"</body></html>"
     rows = [
         (f"https://{host}/robots.txt", 200, f"https://{host}/robots.txt",
-         "text/plain", b"User-agent: *\nDisallow: /private\n", host),
+         "text/plain",
+         b"User-agent: *\nDisallow: /private\nAllow: /private/pub/\n", host),
         # note: engine-normalized form (no trailing slash on the root)
         (f"https://{host}", 200, f"https://{host}", "text/html", page, host),
         (f"https://{host}/about/team", 200, f"https://{host}/about/team",
          "text/html", sub, host),
         (f"https://{host}/private/secrets", 200,
          f"https://{host}/private/secrets", "text/html", sub, host),
-        (f"https://{host}/private/more", 200,
-         f"https://{host}/private/more", "text/html", sub, host),
+        (f"https://{host}/private/pub/ok", 200,
+         f"https://{host}/private/pub/ok", "text/html", sub, host),
     ]
     web_df = spark.createDataFrame(
         rows,
@@ -102,7 +238,7 @@ def test_engine_gates_links_with_fetched_robots(spark, tmp_path):
         F.col("domain").alias("host"), "payload"
     )
     rules = build_robots_rules(robots_pages)
-    assert rules == {host: ["/private"]}
+    assert rules == {host: ["-/private", "+/private/pub/"]}
 
     store = SnapshotStore(spark, str(tmp_path / "robots-crawl"))
     eng = CrawlEngine(
@@ -113,7 +249,8 @@ def test_engine_gates_links_with_fetched_robots(spark, tmp_path):
     eng.run()
     seen_urls = {r.url for r in store.read("frontier").collect()}
     assert f"https://{host}/about/team" in seen_urls
-    assert not any("/private" in u for u in seen_urls)
+    assert f"https://{host}/private/pub/ok" in seen_urls
+    assert f"https://{host}/private/secrets" not in seen_urls
 
 
 def test_build_rules_from_dataframe(spark):
@@ -122,10 +259,18 @@ def test_build_rules_from_dataframe(spark):
         ("b.example.org", b"User-agent: *\nDisallow:\n"),  # allow-all
         ("c.example.org", None),  # fetch failed
         ("d.example.org", b"User-agent: x\nDisallow: /only-x\n"),
+        ("e.example.org",
+         b"User-agent: *\nDisallow: /\nAllow: /pub*\nDisallow: /*.zip$\n"),
     ]
     df = spark.createDataFrame(rows, "host string, payload binary")
     rules = build_robots_rules(df, agent="spacetime")
-    assert rules == {"a.example.org": ["/blog"]}
+    assert rules == {
+        "a.example.org": ["-/blog"],
+        "e.example.org": ["-/", "+/pub*", "-/*.zip$"],
+    }
     assert robots_allows(rules, "https://a.example.org/blog/post") is False
     assert robots_allows(rules, "https://a.example.org/about") is True
     assert robots_allows(rules, "https://b.example.org/anything") is True
+    assert robots_allows(rules, "https://e.example.org/pub/x") is True
+    assert robots_allows(rules, "https://e.example.org/other") is False
+    assert robots_allows(rules, "https://e.example.org/pub/a.zip") is False
