@@ -56,8 +56,14 @@ def blocked_pair_cos_bp(
     variant below is the sub-quadratic path when exact all-pairs is not
     required."""
     if n_blocks is None:
-        n = emb.count()
-        n_blocks = max(1, -(-n // max(rows_per_block, 1)))
+        # size the grid WITHOUT a count() job (one avoidable Spark action
+        # per call): cluster parallelism is the natural lower bound on
+        # useful cells, and callers with a known corpus size pass n_blocks
+        # (or rows_per_block-derived) explicitly. B(B+1)/2 cells over 2P
+        # blocks keeps every core busy while each cell stays a bounded
+        # numpy matmul.
+        sc = emb.sparkSession.sparkContext
+        n_blocks = max(2, 2 * sc.defaultParallelism)
     B = n_blocks
 
     tagged = emb.select(

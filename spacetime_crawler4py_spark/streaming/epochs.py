@@ -151,7 +151,12 @@ class EngineConfig:
     ordering: str = "relaxed"              # "relaxed" | "exact" (parity mode)
     rounds_per_epoch: int = 1              # relaxed-mode token budget
     neardup: str = "lsh"                   # "lsh" | "exact" (parity) | "off"
-    use_bloom: bool = False
+    # Bloom prefilter before the seen anti-join: ON by default so the
+    # default config IS the benched config (BENCH/BASELINE.md runs bloom
+    # on). At 10^10 seen URLs the prefilter keeps the anti-join probe side
+    # to the bloom false-positive sliver; turn off only for tiny crawls
+    # where the filter build outweighs the join savings.
+    use_bloom: bool = True
     salt_buckets: int = 8                  # skew salting (north_rule)
     robots: dict | None = None
     minhash_perm: int = 64
