@@ -97,8 +97,10 @@ def crawl_throughput(
     tmp = tempfile.mkdtemp(prefix="crawlbench-")
     try:
         store = SnapshotStore(spark, tmp)
-        # materialize the frontier before the clock starts
-        store.append("frontier", frontier)
+        # materialize the frontier before the clock starts (seq-sorted so
+        # the indexed dequeue's scan bound prunes row groups, as the
+        # engine's own appends do)
+        store.append("frontier", frontier, sort_by=["seq"])
         engine = CrawlEngine(
             spark, store, None,
             EngineConfig(

@@ -156,6 +156,15 @@ def main() -> None:
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve appended sections (politeness ladder, pruning A/B, ...):
+    # everything from the first "## " heading on survives a regen
+    old_sections = ""
+    if os.path.exists(md):
+        with open(md, encoding="utf-8") as f:
+            old = f.read()
+        i = old.find("\n## ")
+        if i != -1:
+            old_sections = old[i + 1:]
     with open(md, "w", encoding="utf-8") as f:
         f.write(
             "# BENCH/BASELINE — measured crawl throughput + scaling\n\n"
@@ -195,6 +204,8 @@ def main() -> None:
             "Reference single-node ceiling for comparison: 2-8 URLs/s "
             "(4 threads x 0.5s/domain politeness, BASELINE.md).\n"
         )
+        if old_sections:
+            f.write("\n" + old_sections)
     print(json.dumps(summary))
 
 

@@ -79,6 +79,7 @@ def politeness_heads_indexed(
     frontier: DataFrame,
     watermarks: DataFrame | None,
     tokens: int,
+    max_seq_bound: int | None = None,
 ) -> DataFrame:
     """The scale dequeue: a pure filter, no window, no shuffle.
 
@@ -89,13 +90,26 @@ def politeness_heads_indexed(
     epoch counter, so later inserts always sort after earlier ones). The
     politeness dequeue is then ``served < seq <= served + tokens`` against
     the broadcast watermark dim: embarrassingly parallel, skew-immune
-    (no per-domain partitioning at all), and with a seq-sorted/partitioned
-    frontier layout the predicate prunes row groups at the parquet scan.
-    This replaces round 1's double window over the full frontier — the
-    measured top cost of every epoch."""
+    (no per-domain partitioning at all). This replaces round 1's double
+    window over the full frontier — the measured top cost of every epoch.
+
+    ``max_seq_bound`` is the scan-pruning half of the design: the
+    per-domain predicate involves the joined ``served`` column and cannot
+    reach the parquet reader, but ``max(served over all domains) + tokens``
+    is a LITERAL upper bound implied by it (per-domain served <= global
+    max), and the engine's SnapshotStore writes frontier deltas and
+    compacted bases sorted by ``seq`` — so this conjunct pushes into the
+    scan and prunes every row group holding only the deep tail of hot
+    domains' queues. On a skewed 10^10-row frontier (north_rule:
+    *.ics.uci.edu at ~23%) that tail IS most of the table; without the
+    bound every epoch re-reads it."""
     slim = frontier.select(
         *[c for c in INDEXED_HEAD_COLUMNS if c in frontier.columns]
     )
+    if max_seq_bound is not None:
+        # literal conjunct FIRST, before the watermark join, so Catalyst
+        # pushes it down to the parquet scan (PushedFilters in explain)
+        slim = slim.where(F.col("seq") <= F.lit(int(max_seq_bound)))
     if watermarks is not None:
         slim = slim.join(F.broadcast(watermarks), "domain", "left")
         served = F.coalesce(F.col("served"), F.lit(0))

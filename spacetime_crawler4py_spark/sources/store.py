@@ -93,9 +93,19 @@ class SnapshotStore:
     def exists(self, name: str) -> bool:
         return bool(self._load_manifest(name)["paths"])
 
-    def append(self, name: str, df: "DataFrame") -> int:
+    def append(
+        self, name: str, df: "DataFrame", sort_by: list[str] | None = None
+    ) -> int:
+        """Atomic delta commit. ``sort_by`` globally sorts the delta before
+        writing (≙ an Iceberg table write-order spec): row groups then
+        carry tight min/max statistics on the leading sort column, so
+        scan-time predicates on it prune at the parquet footer instead of
+        reading every group — the indexed politeness dequeue writes the
+        frontier sorted by ``seq`` for exactly this (plans/dequeue.py)."""
         cur = self._load_manifest(name)
         delta_dir = os.path.join(self._tdir(name), f"delta-{cur['version'] + 1:06d}")
+        if sort_by:
+            df = df.sort(*sort_by)
         df.write.mode("overwrite").parquet(delta_dir)
         return self._commit(name, cur["paths"] + [delta_dir])
 
@@ -130,12 +140,18 @@ class SnapshotStore:
         pq.write_table(table, os.path.join(base_dir, "part-00000.parquet"))
         return self._commit(name, [base_dir])
 
-    def compact(self, name: str, df: "DataFrame | None" = None) -> int:
+    def compact(
+        self, name: str, df: "DataFrame | None" = None,
+        sort_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the table as one base dir. With df=None, compacts the
         current contents (must be materialized before the manifest swap,
-        hence the write-then-commit order)."""
+        hence the write-then-commit order). ``sort_by`` re-establishes the
+        table's write order (see append) across the whole base."""
         if df is None:
             df = self.read(name)
+        if sort_by:
+            df = df.sort(*sort_by)
         base_dir = os.path.join(
             self._tdir(name), f"base-{self.current_version(name) + 1:06d}"
         )

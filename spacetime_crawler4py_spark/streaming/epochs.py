@@ -255,6 +255,7 @@ class CrawlEngine:
                 frontier.withColumn(
                     "seq", F.row_number().over(w).cast("bigint")
                 ),
+                sort_by=["seq"],
             )
             frontier = self.store.read("frontier")
         if frontier is not None:
@@ -367,6 +368,7 @@ class CrawlEngine:
                 (h, url, dom, self._salt_of(url), None, -1, "", i, -1, seq)
             )
         names = [f.name for f in ARROW_SCHEMAS["frontier"]]
+        rows.sort(key=lambda r: r[-1])  # seq-sorted like every frontier delta
         self.store.append_rows(
             "frontier", [dict(zip(names, r)) for r in rows],
             ARROW_SCHEMAS["frontier"],
@@ -612,8 +614,16 @@ class CrawlEngine:
             wm_df = self.spark.createDataFrame(
                 list(self._watermarks.items()), _WM_BROADCAST_SCHEMA
             )
+        # every domain's window ends at served_d + tokens <= global max
+        # served + tokens: a literal bound the scan can prune row groups
+        # with (frontier deltas/bases are written seq-sorted — see the
+        # store.append sort_by below and plans/dequeue.py)
+        max_bound = (
+            max(self._watermarks.values()) if self._watermarks else 0
+        ) + tokens
         dequeued = politeness_heads_indexed(
-            self.store.read("frontier"), wm_df, tokens
+            self.store.read("frontier"), wm_df, tokens,
+            max_seq_bound=max_bound,
         )
         # the filter-only dequeue preserves the frontier's file layout, and
         # epoch deltas are domain-clustered (the seq window wrote them
@@ -731,7 +741,9 @@ class CrawlEngine:
             .select(*[f.name for f in ARROW_SCHEMAS["frontier"]])
         )
         n_new = new_rows.count() if self.cfg.collect_metrics else -1
-        self.store.append("frontier", new_rows)
+        # seq-sorted delta: keeps row-group min/max stats on seq tight so
+        # the dequeue's max_seq_bound conjunct prunes at the parquet scan
+        self.store.append("frontier", new_rows, sort_by=["seq"])
         pt.mark("candidates+frontier-merge")
         # the committed delta read-back is the cheap source for the seen
         # append, the bloom increment, AND the enqueue-counter advance
@@ -968,7 +980,7 @@ class CrawlEngine:
             .where(F.col("seq") > F.coalesce(F.col("served"), F.lit(0)))
             .drop("served")
         )
-        self.store.compact("frontier", remaining)
+        self.store.compact("frontier", remaining, sort_by=["seq"])
 
     def summary(self) -> dict:
         seen = self.store.read_or_none("seen")
