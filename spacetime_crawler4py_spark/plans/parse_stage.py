@@ -48,6 +48,8 @@ def make_parse_stage(
     minhash_perm: int = 64,
     fetcher=None,
     compute_sketches: bool = True,
+    politeness_delay: float = 0.0,
+    clock=None,
 ):
     """Returns a mapInPandas function over rows with columns
     (url, url_hash, domain, slot, rk_round, rk_pop, rk_pos,
@@ -55,12 +57,31 @@ def make_parse_stage(
 
     With ``fetcher`` set (url -> (status, content_type, payload, final_url))
     the fetch happens *inside* the stage — the shape real HTTP fetching
-    takes on a cluster (per-domain-partitioned mapInPandas, politeness
-    pacing in-iterator) — and the input needs no fetch columns."""
+    takes on a cluster — and the input needs no fetch columns.
+
+    ``politeness_delay`` > 0 (fetcher mode only) enables WALL-CLOCK pacing
+    (reference frontier.py politeness, SURVEY §2.7 UDF family 5): within a
+    partition no domain is fetched more often than once per delay. Each
+    batch is processed in slot order so different domains' fetches
+    interleave between a domain's consecutive hits and the sleep only
+    covers genuinely idle time. Correctness of the global guarantee
+    requires the caller to partition the input BY DOMAIN (the engine's
+    wallclock_politeness mode does) — two partitions holding the same
+    domain would pace independently. ``clock`` (monotonic()/sleep())
+    is injectable for the fake-clock property test; defaults to ``time``.
+    The sandbox bench/oracle paths keep politeness VIRTUAL (epoch token
+    budgets) and leave this off — real HTTP deployments turn it on."""
     from ..oracle.pycrawler import robots_allows  # shared gate
 
+    if clock is None:
+        import time as clock  # noqa: F811 — module provides monotonic+sleep
+    pace = fetcher is not None and politeness_delay > 0
+
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_fetch: dict[str, float] = {}  # per-partition pacing state
         for pdf in batches:
+            if pace and "slot" in pdf.columns:
+                pdf = pdf.sort_values("slot", kind="stable")
             out: list[dict] = []
             for row in pdf.itertuples(index=False):
                 rec = {
@@ -85,6 +106,15 @@ def make_parse_stage(
                     "outlinks": [],
                 }
                 if fetcher is not None:
+                    if pace:
+                        now = clock.monotonic()
+                        due = last_fetch.get(row.domain)
+                        if due is not None:
+                            wait = due + politeness_delay - now
+                            if wait > 0:
+                                clock.sleep(wait)
+                                now += wait
+                        last_fetch[row.domain] = now
                     status, content_type, payload, final_url = fetcher(row.url)
                 else:
                     status = row.status

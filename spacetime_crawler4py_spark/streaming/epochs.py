@@ -166,6 +166,15 @@ class EngineConfig:
     dedup_doc_ids: bool = True             # False when the fetcher can't redirect
                                            # (doc_id collisions impossible) —
                                            # skips one per-epoch probe job
+    # Wall-clock politeness in the in-stage fetcher (real HTTP mode): each
+    # fetch+parse task paces same-domain fetches to >= politeness_delay
+    # apart, and the dequeued batch is partitioned BY DOMAIN (not round-
+    # robin) so the per-partition guarantee is global. Off in oracle/bench
+    # mode, where politeness stays virtual (the epoch token budget) and the
+    # round-robin rebalance spreads the hot domain instead — with pacing on,
+    # a hot domain is serialized by definition, so domain-partitioning
+    # loses nothing.
+    wallclock_politeness: bool = False
 
 
 _PHASE_DEBUG = os.environ.get("SPARK_GRAFT_PHASE_DEBUG") == "1"
@@ -209,6 +218,10 @@ class CrawlEngine:
             minhash_perm=self.cfg.minhash_perm,
             fetcher=fetcher,
             compute_sketches=self.cfg.neardup != "off",
+            politeness_delay=(
+                self.cfg.politeness_delay
+                if self.cfg.wallclock_politeness else 0.0
+            ),
         )
         self._in_stage_fetch = fetcher is not None
         # in-memory mirrors rebuilt from snapshots on resume
@@ -625,15 +638,19 @@ class CrawlEngine:
             self.store.read("frontier"), wm_df, tokens,
             max_seq_bound=max_bound,
         )
-        # the filter-only dequeue preserves the frontier's file layout, and
-        # epoch deltas are domain-clustered (the seq window wrote them
-        # grouped by domain) — without a rebalance the hot domain's slice
-        # would ride into ONE fetch+parse task. Round-robin the small
-        # dequeued batch across the executors; its cost is trivial next to
-        # the parse it feeds.
-        dequeued = dequeued.repartition(
-            self.spark.sparkContext.defaultParallelism
-        )
+        # the filter-only dequeue preserves the frontier's file layout —
+        # without a rebalance the hot domain's slice would ride into ONE
+        # fetch+parse task. Round-robin the small dequeued batch across the
+        # executors; its cost is trivial next to the parse it feeds. In
+        # wall-clock politeness mode the rebalance is BY DOMAIN instead:
+        # the in-stage pacer's per-partition guarantee is only global when
+        # a domain never spans partitions (and a paced hot domain is
+        # serialized anyway, so clustering it costs nothing).
+        parallelism = self.spark.sparkContext.defaultParallelism
+        if self.cfg.wallclock_politeness and self._in_stage_fetch:
+            dequeued = dequeued.repartition(parallelism, "domain")
+        else:
+            dequeued = dequeued.repartition(parallelism)
         parsed = self._fetch_and_parse(dequeued)
         parsed.persist()
         # one job materializes the fetch+parse AND yields both the pop count
