@@ -174,8 +174,12 @@ def lsh_bucketed_topk(
     vec_col: str,
     dim: int,
     k: int = 10,
-    n_planes: int = 12,
-    n_tables: int = 4,
+    # production default = the measured efficiency frontier at recall>=0.9
+    # on the synthetic corpus's near-orthogonal (hard-regime) neighbors —
+    # see scripts/bench_ann_sweep.py / BENCH/ANN_SWEEP.md. Corpora with
+    # tighter clusters can raise n_planes to shrink the candidate set.
+    n_planes: int = 5,
+    n_tables: int = 32,
     seed: int = 42,
     planes: np.ndarray | None = None,
     emit_bp: bool = False,

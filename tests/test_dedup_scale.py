@@ -110,17 +110,18 @@ def test_simhash_blocking_is_lossless(docs):
 
 def test_ann_recall_vs_brute_force(emb):
     """An untested ANN index is unshippable: gate recall@10 of the
-    bucketed path against the exact brute-force baseline."""
+    bucketed path at its PRODUCTION defaults (n_planes=5, n_tables=32 —
+    the measured efficiency frontier, scripts/bench_ann_sweep.py /
+    BENCH/ANN_SWEEP.md) against the exact brute-force baseline. 0.9 on
+    this corpus is a hard bar: its true neighbors are near-orthogonal
+    (median truth cosine ~0.29), the worst regime for hyperplane LSH."""
     probes = emb.where(F.col("vec_id") < 20)
     truth = brute_force_topk(emb, probes, "vec_id", "v", k=10)
-    planes = int_plane_matrix(64, 4, 12, seed=42)
-    ann = lsh_bucketed_topk(
-        emb, probes, "vec_id", "v", dim=64, k=10, planes=planes
-    )
+    ann = lsh_bucketed_topk(emb, probes, "vec_id", "v", dim=64, k=10)
     t = {(r.probe_id, r.neighbor_id) for r in truth.collect()}
     a = {(r.probe_id, r.neighbor_id) for r in ann.collect()}
     recall = len(t & a) / len(t)
-    assert recall >= 0.5, f"ANN recall@10 too low: {recall:.2f}"
+    assert recall >= 0.9, f"ANN recall@10 too low: {recall:.2f}"
 
 
 def test_blocked_grid_equals_single_block(emb):
