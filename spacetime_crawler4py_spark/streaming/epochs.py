@@ -166,6 +166,17 @@ class EngineConfig:
     dedup_doc_ids: bool = True             # False when the fetcher can't redirect
                                            # (doc_id collisions impossible) —
                                            # skips one per-epoch probe job
+    # Where the per-domain (served, enqueued) dim lives:
+    #  * "driver" — two ints per active domain in driver dicts, snapshotted
+    #    to the watermarks table per epoch. O(domains) driver memory: right
+    #    for the north_rule target (uci.edu graph, ~10^2 hosts) and fine to
+    #    ~10^6 domains.
+    #  * "store"  — the watermarks TABLE is the only copy; the dequeue
+    #    broadcast reads it, seq offsets join it, and the advance is a
+    #    distributed merge (full outer join + compact) instead of dict
+    #    updates. Driver state is O(1); use for general web crawls with
+    #    10^7+ hosts. Requires ordering="relaxed".
+    watermark_dim: str = "driver"          # "driver" | "store"
     # Wall-clock politeness in the in-stage fetcher (real HTTP mode): each
     # fetch+parse task paces same-domain fetches to >= politeness_delay
     # apart, and the dequeued batch is partitioned BY DOMAIN (not round-
@@ -213,6 +224,16 @@ class CrawlEngine:
         self.store = store
         self.web_df = web_df
         self.cfg = config or EngineConfig()
+        if self.cfg.watermark_dim not in ("driver", "store"):
+            raise ValueError(
+                f"watermark_dim must be 'driver' or 'store', "
+                f"got {self.cfg.watermark_dim!r}"
+            )
+        if self.cfg.watermark_dim == "store" and self.cfg.ordering == "exact":
+            raise ValueError(
+                "watermark_dim='store' requires ordering='relaxed' (the "
+                "exact parity mode is inherently driver-coordinated)"
+            )
         self._parse_stage = make_parse_stage(
             robots=self.cfg.robots,
             minhash_perm=self.cfg.minhash_perm,
@@ -230,14 +251,20 @@ class CrawlEngine:
         self._saved_doc_ids: set[str] = set()
         self._checksums: set[str] = set()
         self._bloom: BloomFilter | None = None
-        # relaxed-mode per-domain served watermarks: held on the driver (one
-        # int per domain), snapshotted to the watermarks table per epoch
+        # relaxed-mode per-domain served watermarks and enqueue counters
+        # (the last assigned frontier seq). watermark_dim="driver": held
+        # here (one int per domain each), snapshotted to the watermarks
+        # table per epoch. watermark_dim="store": BOTH STAY EMPTY — the
+        # watermarks table is the only copy, advanced by a distributed
+        # merge (the 10^7+-domain path; see EngineConfig).
         self._watermarks: dict[str, int] = {}
-        # per-domain enqueue counters: the last assigned frontier seq.
-        # Driver-held like the watermarks (one int per domain); persisted in
-        # the same table. At very large domain cardinality both would move
-        # into a Spark state table maintained by merge — same contract.
         self._next_seq: dict[str, int] = {}
+        # O(1) stand-in for max(served) in store mode: exact at resume,
+        # advanced by +tokens per epoch (a monotone upper bound — served
+        # can grow by at most tokens per domain per epoch). Only used to
+        # derive the dequeue's scan-pruning literal, where any upper bound
+        # is correct and tighter merely prunes more.
+        self._max_served_bound: int = 0
         self._resume()
 
     # ------------------------------------------------------------------
@@ -248,15 +275,16 @@ class CrawlEngine:
         if comp is not None:
             row = comp.agg(F.max("round").alias("m")).collect()[0]
             self._round = int(row.m) + 1 if row.m is not None else 0
-        wm = self.store.read_or_none("watermarks")
-        if wm is not None:
-            wm_rows = wm.collect()
-            self._watermarks = {r.domain: int(r.served) for r in wm_rows}
-            if "enqueued" in wm.columns:
-                self._next_seq = {
-                    r.domain: int(r.enqueued)
-                    for r in wm_rows if r.enqueued is not None
-                }
+        if self.cfg.watermark_dim == "driver":
+            wm = self.store.read_or_none("watermarks")
+            if wm is not None:
+                wm_rows = wm.collect()
+                self._watermarks = {r.domain: int(r.served) for r in wm_rows}
+                if "enqueued" in wm.columns:
+                    self._next_seq = {
+                        r.domain: int(r.enqueued)
+                        for r in wm_rows if r.enqueued is not None
+                    }
         frontier = self.store.read_or_none("frontier")
         if frontier is not None and "seq" not in frontier.columns:
             # legacy (pre-seq) store: one-time migration assigning each row
@@ -271,16 +299,18 @@ class CrawlEngine:
                 sort_by=["seq"],
             )
             frontier = self.store.read("frontier")
-        if frontier is not None:
-            # ALWAYS max-merge the persisted enqueue counters with the
-            # frontier's actual per-domain max(seq). The epoch loop commits
-            # the frontier append (new seq values) BEFORE the watermark
-            # snapshot persists the counters, so a crash in that window
-            # leaves the snapshot stale; trusting it alone would reassign
-            # duplicate seq numbers (two rows sharing a politeness slot,
-            # later rows silently skipped by the served watermark). The
-            # merge also covers externally seeded stores (bench) and
-            # exact-mode history, where no snapshot exists at all.
+        # ALWAYS max-merge the persisted enqueue counters with the
+        # frontier's actual per-domain max(seq). The epoch loop commits
+        # the frontier append (new seq values) BEFORE the watermark
+        # snapshot persists the counters, so a crash in that window
+        # leaves the snapshot stale; trusting it alone would reassign
+        # duplicate seq numbers (two rows sharing a politeness slot,
+        # later rows silently skipped by the served watermark). The
+        # merge also covers externally seeded stores (bench) and
+        # exact-mode history, where no snapshot exists at all.
+        if self.cfg.watermark_dim == "store":
+            self._sync_watermarks_store(frontier)
+        elif frontier is not None:
             for r in (
                 frontier.groupBy("domain").agg(F.max("seq").alias("m")).collect()
             ):
@@ -347,6 +377,74 @@ class CrawlEngine:
             else:
                 self._bloom = BloomFilter.sized_for(1 << 16)
 
+    def _sync_watermarks_store(self, frontier: DataFrame | None) -> None:
+        """Store-mode resume: the same crash-window repair as the driver
+        path, done distributively — enqueued := max(enqueued, per-domain
+        max(seq) over the frontier) via a full outer join + compact — so
+        the driver never materializes the domain dim. Also initializes the
+        O(1) served upper bound used for dequeue scan pruning."""
+        wm = self.store.read_or_none("watermarks")
+        if frontier is not None:
+            fmax = frontier.groupBy("domain").agg(F.max("seq").alias("_fmax"))
+            if wm is None:
+                merged = fmax.select(
+                    "domain",
+                    F.lit(0).cast("bigint").alias("served"),
+                    F.col("_fmax").cast("bigint").alias("enqueued"),
+                )
+            else:
+                merged = wm.join(fmax, "domain", "full_outer").select(
+                    "domain",
+                    F.coalesce("served", F.lit(0)).cast("bigint")
+                    .alias("served"),
+                    F.greatest(
+                        F.coalesce("enqueued", F.lit(0)),
+                        F.coalesce("_fmax", F.lit(0)),
+                    ).cast("bigint").alias("enqueued"),
+                )
+            self.store.compact("watermarks", merged)
+            wm = self.store.read("watermarks")
+        if wm is not None:
+            row = wm.agg(F.max("served").alias("m")).collect()[0]
+            self._max_served_bound = int(row.m or 0)
+
+    def _served_dim(self) -> DataFrame | None:
+        """The (domain, served) dequeue dim from whichever home the
+        watermarks live in."""
+        if self.cfg.watermark_dim == "store":
+            wm = self.store.read_or_none("watermarks")
+            return wm.select("domain", "served") if wm is not None else None
+        if not self._watermarks:
+            return None
+        return self.spark.createDataFrame(
+            list(self._watermarks.items()), _WM_BROADCAST_SCHEMA
+        )
+
+    def _merge_enqueued_store(self, maxima: dict[str, int]) -> None:
+        """Fold a small {domain: max assigned seq} map (seeding) into the
+        store-mode watermark table."""
+        inc = self.spark.createDataFrame(
+            list(maxima.items()), "domain string, enqueued bigint"
+        )
+        wm = self.store.read_or_none("watermarks")
+        if wm is None:
+            merged = inc.select(
+                "domain", F.lit(0).cast("bigint").alias("served"), "enqueued"
+            )
+        else:
+            merged = wm.join(
+                inc.withColumnRenamed("enqueued", "_inc"), "domain",
+                "full_outer",
+            ).select(
+                "domain",
+                F.coalesce("served", F.lit(0)).cast("bigint").alias("served"),
+                F.greatest(
+                    F.coalesce("enqueued", F.lit(0)),
+                    F.coalesce("_inc", F.lit(0)),
+                ).cast("bigint").alias("enqueued"),
+            )
+        self.store.compact("watermarks", merged)
+
     def seed(self, urls: list[str]) -> None:
         """Insert seed URLs (reference frontier.py:38-40); idempotent via
         the same first-seen rule as discovered links. seq is assigned after
@@ -373,12 +471,29 @@ class CrawlEngine:
                 ).collect()
             }
             pre = [t for t in pre if t[0] in fresh]
+        if self.cfg.watermark_dim == "store":
+            # counters for the seeded domains only (seeds are O(10^0..10^2)
+            # rows; the full dim never comes to the driver)
+            counters: dict[str, int] = {}
+            doms = sorted({t[2] for t in pre})
+            wm = self.store.read_or_none("watermarks")
+            if wm is not None and doms:
+                counters = {
+                    r.domain: int(r.enqueued or 0)
+                    for r in wm.where(F.col("domain").isin(doms)).collect()
+                }
+        else:
+            counters = self._next_seq
         rows = []
         for h, url, dom, i in pre:
-            seq = self._next_seq.get(dom, 0) + 1
-            self._next_seq[dom] = seq
+            seq = counters.get(dom, 0) + 1
+            counters[dom] = seq
             rows.append(
                 (h, url, dom, self._salt_of(url), None, -1, "", i, -1, seq)
+            )
+        if self.cfg.watermark_dim == "store" and rows:
+            self._merge_enqueued_store(
+                {dom: counters[dom] for dom in {r[2] for r in rows}}
             )
         names = [f.name for f in ARROW_SCHEMAS["frontier"]]
         rows.sort(key=lambda r: r[-1])  # seq-sorted like every frontier delta
@@ -622,18 +737,20 @@ class CrawlEngine:
         pt = _PhaseTimer()
         base = self._round
         tokens = self.cfg.rounds_per_epoch
-        wm_df = None
-        if self._watermarks:
-            wm_df = self.spark.createDataFrame(
-                list(self._watermarks.items()), _WM_BROADCAST_SCHEMA
-            )
+        store_dim = self.cfg.watermark_dim == "store"
+        wm_df = self._served_dim()
         # every domain's window ends at served_d + tokens <= global max
         # served + tokens: a literal bound the scan can prune row groups
         # with (frontier deltas/bases are written seq-sorted — see the
-        # store.append sort_by below and plans/dequeue.py)
-        max_bound = (
-            max(self._watermarks.values()) if self._watermarks else 0
-        ) + tokens
+        # store.append sort_by below and plans/dequeue.py). Store mode
+        # tracks the max as an O(1) monotone upper bound instead of
+        # scanning the dim.
+        if store_dim:
+            max_bound = self._max_served_bound + tokens
+        else:
+            max_bound = (
+                max(self._watermarks.values()) if self._watermarks else 0
+            ) + tokens
         dequeued = politeness_heads_indexed(
             self.store.read("frontier"), wm_df, tokens,
             max_seq_bound=max_bound,
@@ -653,15 +770,29 @@ class CrawlEngine:
             dequeued = dequeued.repartition(parallelism)
         parsed = self._fetch_and_parse(dequeued)
         parsed.persist()
-        # one job materializes the fetch+parse AND yields both the pop count
-        # and the per-domain served counts for the watermark advance
-        domain_counts = parsed.groupBy("domain").agg(
-            F.count("*").alias("_add")
-        ).collect()
-        pops = sum(r._add for r in domain_counts)
+        # one job materializes the fetch+parse AND yields the per-domain
+        # served counts for the watermark advance. Driver mode collects
+        # them (O(active domains)); store mode keeps them as a persisted
+        # DataFrame and collects only the global pop count.
+        adds_df = None
+        if store_dim:
+            adds_df = parsed.groupBy("domain").agg(
+                F.count("*").alias("_add")
+            ).persist()
+            pops = int(
+                adds_df.agg(F.coalesce(F.sum("_add"), F.lit(0))).collect()[0][0]
+            )
+            domain_counts = None
+        else:
+            domain_counts = parsed.groupBy("domain").agg(
+                F.count("*").alias("_add")
+            ).collect()
+            pops = sum(r._add for r in domain_counts)
         pt.mark("dequeue+fetch+parse")
         if pops == 0:
             parsed.unpersist()
+            if adds_df is not None:
+                adds_df.unpersist()
             return False
 
         # candidate links in deterministic discovery order
@@ -742,13 +873,29 @@ class CrawlEngine:
         # sorts after every previously inserted row of its domain.
         order = [F.col(c).asc() for c in DISCOVERY_ORDER]
         w_batch = Window.partitionBy("domain").orderBy(*order)
-        offsets = self.spark.createDataFrame(
-            list(self._next_seq.items()) or [("", 0)],
-            "domain string, base_seq bigint",
-        )
+        if store_dim:
+            # the enqueue counters come from the watermark table read at
+            # epoch start (wm requires the full schema; _served_dim
+            # projected it). No broadcast hint: at 10^7+ domains AQE picks
+            # the join side, and the new-rows batch is the small side.
+            wm_full = self.store.read_or_none("watermarks")
+            offsets = (
+                wm_full.select("domain", F.col("enqueued").alias("base_seq"))
+                if wm_full is not None
+                else self.spark.createDataFrame(
+                    [("", 0)], "domain string, base_seq bigint"
+                )
+            )
+            offsets_hinted = offsets
+        else:
+            offsets = self.spark.createDataFrame(
+                list(self._next_seq.items()) or [("", 0)],
+                "domain string, base_seq bigint",
+            )
+            offsets_hinted = F.broadcast(offsets)
         new_rows = (
             new_rows.withColumn("_brn", F.row_number().over(w_batch))
-            .join(F.broadcast(offsets), "domain", "left")
+            .join(offsets_hinted, "domain", "left")
             .withColumn(
                 "seq",
                 (F.coalesce(F.col("base_seq"), F.lit(0)) + F.col("_brn"))
@@ -766,10 +913,13 @@ class CrawlEngine:
         # append, the bloom increment, AND the enqueue-counter advance
         # (avoids recomputing the candidate pipeline)
         delta = self.store.read_last_delta("frontier")
-        for r in delta.groupBy("domain").agg(F.max("seq").alias("m")).collect():
-            self._next_seq[r.domain] = max(
-                self._next_seq.get(r.domain, 0), int(r.m)
-            )
+        if not store_dim:
+            for r in (
+                delta.groupBy("domain").agg(F.max("seq").alias("m")).collect()
+            ):
+                self._next_seq[r.domain] = max(
+                    self._next_seq.get(r.domain, 0), int(r.m)
+                )
         self.store.append("seen", delta.select("url_hash"))
         if self._bloom is not None:
             inc = BloomFilter.build_from_df_with_shape(
@@ -853,22 +1003,56 @@ class CrawlEngine:
         # the epoch leaves the persisted snapshot untouched, so resume
         # replays the whole epoch (at-least-once fetch; frontier/documents
         # appends stay deduplicated by the seen anti-join and the prior-docs
-        # anti-join). Counts came from the pops job; the snapshot write is a
-        # driver-side pyarrow commit — no extra Spark jobs.
-        for r in domain_counts:
-            self._watermarks[r.domain] = self._watermarks.get(r.domain, 0) + int(r._add)
-        self.store.overwrite_rows(
-            "watermarks",
-            [
-                {
-                    "domain": d,
-                    "served": self._watermarks.get(d, 0),
-                    "enqueued": self._next_seq.get(d, 0),
-                }
-                for d in set(self._watermarks) | set(self._next_seq)
-            ],
-            ARROW_SCHEMAS["watermarks"],
-        )
+        # anti-join).
+        if store_dim:
+            # distributed merge: old dim FULL OUTER served-adds FULL OUTER
+            # this epoch's enqueue maxima, compacted as the new snapshot.
+            # O(domains) stays on the executors; the driver advances only
+            # its O(1) served upper bound.
+            wm_old = self.store.read_or_none("watermarks")
+            delta_max = delta.groupBy("domain").agg(
+                F.max("seq").alias("_dmax")
+            )
+            inc = adds_df.join(delta_max, "domain", "full_outer")
+            if wm_old is not None:
+                inc = wm_old.join(inc, "domain", "full_outer")
+            else:
+                inc = inc.select(
+                    "domain",
+                    F.lit(None).cast("bigint").alias("served"),
+                    F.lit(None).cast("bigint").alias("enqueued"),
+                    "_add", "_dmax",
+                )
+            merged = inc.select(
+                "domain",
+                (F.coalesce("served", F.lit(0)) + F.coalesce("_add", F.lit(0)))
+                .cast("bigint").alias("served"),
+                F.greatest(
+                    F.coalesce("enqueued", F.lit(0)),
+                    F.coalesce("_dmax", F.lit(0)),
+                ).cast("bigint").alias("enqueued"),
+            )
+            self.store.compact("watermarks", merged)
+            self._max_served_bound += tokens
+            adds_df.unpersist()
+        else:
+            # driver dicts + a pyarrow snapshot commit — no extra Spark jobs
+            for r in domain_counts:
+                self._watermarks[r.domain] = (
+                    self._watermarks.get(r.domain, 0) + int(r._add)
+                )
+            self.store.overwrite_rows(
+                "watermarks",
+                [
+                    {
+                        "domain": d,
+                        "served": self._watermarks.get(d, 0),
+                        "enqueued": self._next_seq.get(d, 0),
+                    }
+                    for d in set(self._watermarks) | set(self._next_seq)
+                ],
+                ARROW_SCHEMAS["watermarks"],
+            )
 
         parsed.unpersist()
         if flagged is not None:
@@ -985,15 +1169,13 @@ class CrawlEngine:
         ordering constraint entirely)."""
         if not self.store.exists("frontier"):
             return
-        if not self._watermarks:
+        wm = self._served_dim()
+        if wm is None:
             self.store.compact("frontier")
             return
-        wm = self.spark.createDataFrame(
-            list(self._watermarks.items()), _WM_BROADCAST_SCHEMA
-        )
         frontier = self.store.read("frontier")
         remaining = (
-            frontier.join(F.broadcast(wm), "domain", "left")
+            frontier.join(wm, "domain", "left")
             .where(F.col("seq") > F.coalesce(F.col("served"), F.lit(0)))
             .drop("served")
         )
