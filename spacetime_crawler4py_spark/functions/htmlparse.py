@@ -330,6 +330,18 @@ _CLOSES = {
 
 
 class _AnalyzerTextParser(HTMLParser):
+    # The reference report was built with bs4 on a bundled libxml2 that
+    # follows HTML5 in treating <noframes> as a RAWTEXT element: its
+    # content stays one literal text node ("<body>…" inclusive), it is
+    # not parsed into elements.  That single behavior decides whether the
+    # one frameset page in the golden corpus (~raccoon: 9 title tokens +
+    # noframes fallback) clears the analyzer's >=20-token gate — parsed
+    # as elements it counts 19 and is skipped; as rawtext it counts 21
+    # and contributes exactly one 'data' and one 'project', the final
+    # +-1 residue of the round-2 golden report. stdlib html.parser only
+    # rawtexts script/style by default; extend it.
+    CDATA_CONTENT_ELEMENTS = ("script", "style", "noframes")
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.stack: list[tuple[str, bool]] = []  # (tag, removed-subtree)
