@@ -25,6 +25,7 @@ from spacetime_crawler4py_spark.functions.urlkit import (
 )
 from spacetime_crawler4py_spark.functions.validity import udf_is_valid
 from spacetime_crawler4py_spark.operators import multimodal
+from spacetime_crawler4py_spark.operators.components import dedup_assignments
 from spacetime_crawler4py_spark.operators.dedup import (
     minhash_lsh_verified_pairs,
     shingles_exploded,
@@ -34,10 +35,12 @@ from spacetime_crawler4py_spark.operators.similarity_search import (
     blocked_pair_cos_bp,
     brute_force_topk,
     int_plane_matrix,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from spacetime_crawler4py_spark.operators.textstats import (
     LANG_MARKERS,
+    repetition_scores,
     report_tokens_col,
 )
 
@@ -220,6 +223,34 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.md5(F.col("text")).alias("checksum"))
         .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("canonical_id"))
         .where(F.col("dup_count") > 1)
+    )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair list → duplicate clusters → per-doc canonical assignment
+    (operators/components.py, alternating large-star/small-star). The
+    edge list is a deterministic arithmetic graph standing in for an LSH
+    pair list — consecutive-id chains (doc_id%10<3 → runs of 4 linked
+    docs) merged by bridge edges (doc_id%40==0 → +10), so components are
+    genuinely multi-hop (diameter 6) and the transitive closure is doing
+    real work; tests/test_components.py runs the operator over the real
+    MinHash pair output as well."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    chain = docs.where(F.col("doc_id") % 10 < 3).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+    )
+    bridge = docs.where(F.col("doc_id") % 40 == 0).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 10).alias("b")
+    )
+    edges = chain.unionByName(bridge).join(
+        docs.select(F.col("doc_id").alias("b")), "b"
+    )
+    return dedup_assignments(docs, edges, "doc_id")
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_scores(
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text"
     )
 
 
@@ -650,6 +681,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN twin of ann_lsh (operators/similarity_search.ivf_topk):
+    deterministic sampled centroids keep the whole index SQL-expressible."""
+    emb = _quantized_emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(
+        _spread(emb), probes, "vec_id", "v",
+        n_centroids=16, n_probe=8, k=10, emit_bp=True,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the crawl-report top-words pipeline at sf0.001."""
     return q_top_words(spark, "/root/testdata/sf0.001")
@@ -673,9 +715,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
+        "dedup_components": q_dedup_components,
+        "repetition_scores": q_repetition_scores,
         # similarity search
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         # frontier/crawl relational kernels (SURVEY §2.4/§2.6)
         "seen_anti_join": q_seen_anti_join,
         "first_seen": q_first_seen,
@@ -791,6 +836,64 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s2 ON s2.doc_id = ov.doc_id2
             WHERE floor(ov.common * 1000000.0 / (s1.n_sh + s2.n_sh - ov.common))
                   >= 300000
+        """,
+        "dedup_components": """
+            WITH RECURSIVE raw AS (
+              SELECT d.doc_id AS a, d.doc_id + 1 AS b
+              FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+              WHERE d.doc_id % 10 < 3
+              UNION ALL
+              SELECT d.doc_id, d.doc_id + 10
+              FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 10
+              WHERE d.doc_id % 40 = 0
+            ),
+            edges AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw),
+            reach(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            ),
+            comp AS (
+              SELECT src, least(src, min(dst)) AS cid FROM reach GROUP BY src
+            )
+            SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS component_id
+            FROM documents d LEFT JOIN comp c ON c.src = d.doc_id
+        """,
+        "repetition_scores": f"""
+            WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+            b AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]
+              )) AS g FROM tok WHERE len(t) >= 2
+            ),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+            bstat AS (
+              SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+              FROM bc GROUP BY doc_id
+            ),
+            t3 AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              )) AS g FROM tok WHERE len(t) >= 3
+            ),
+            tstat AS (
+              SELECT doc_id, count(*) AS n_tg, count(DISTINCT g) AS d_tg
+              FROM t3 GROUP BY doc_id
+            ),
+            ppm AS (
+              SELECT d.doc_id,
+                COALESCE(CAST(floor(top_c * 1000000.0 / n_bg) AS BIGINT), 0)
+                  AS top_bigram_ppm,
+                COALESCE(CAST(floor((n_tg - d_tg) * 1000000.0 / n_tg)
+                  AS BIGINT), 0) AS dup_trigram_ppm
+              FROM documents d
+              LEFT JOIN bstat USING (doc_id) LEFT JOIN tstat USING (doc_id)
+            )
+            SELECT doc_id, top_bigram_ppm, dup_trigram_ppm,
+                   (top_bigram_ppm > 180000 OR dup_trigram_ppm > 300000)
+                     AS repetitive
+            FROM ppm
         """,
         "embedding_topk": """
             WITH e AS (SELECT vec_id,
@@ -1125,6 +1228,52 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY probe_id
                                         ORDER BY cos DESC, neighbor_id ASC) AS rank
               FROM scored
+            )
+            SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        "ann_ivf": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> floor(x::DOUBLE * 1000)) AS v
+              FROM embeddings
+            ),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            assign AS (
+              SELECT vec_id AS neighbor_id, v AS nv, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY
+                       list_dot_product(v, cv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(cv, cv))) DESC,
+                       cid ASC) AS rn
+              FROM e CROSS JOIN c
+            ),
+            cells AS (SELECT neighbor_id, nv, cid AS cell FROM assign WHERE rn = 1),
+            p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+            pcells AS (
+              SELECT probe_id, pv, cid AS cell FROM (
+                SELECT probe_id, pv, cid,
+                       row_number() OVER (PARTITION BY probe_id ORDER BY
+                         list_dot_product(pv, cv)
+                           / (sqrt(list_dot_product(pv, pv))
+                              * sqrt(list_dot_product(cv, cv))) DESC,
+                         cid ASC) AS rn
+                FROM p CROSS JOIN c
+              ) WHERE rn <= 8
+            ),
+            cands AS (
+              SELECT probe_id, neighbor_id,
+                     list_dot_product(pv, nv)
+                       / (sqrt(list_dot_product(pv, pv))
+                          * sqrt(list_dot_product(nv, nv))) AS cos
+              FROM pcells JOIN cells USING (cell)
+              WHERE probe_id != neighbor_id
+            ),
+            ranked AS (
+              SELECT probe_id, neighbor_id,
+                     CAST(floor(cos * 10000) AS BIGINT) AS cos_bp,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM cands
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
         """,

@@ -49,9 +49,12 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "dedup_components",
+    "repetition_scores",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh",
+    "ann_ivf",
     "seen_anti_join",
     "first_seen",
     "token_bucket_dequeue",

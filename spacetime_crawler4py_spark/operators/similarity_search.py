@@ -25,6 +25,7 @@ __all__ = [
     "blocked_pair_cos_bp",
     "lsh_bucketed_topk",
     "int_plane_matrix",
+    "ivf_topk",
 ]
 
 
@@ -234,6 +235,101 @@ def lsh_bucketed_topk(
     # fp64 number on every engine (one division of exact integers)
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     ranked = cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    if emit_bp:
+        return ranked.select(
+            "probe_id", "neighbor_id",
+            F.floor(F.col("cos") * 10000).cast("long").alias("cos_bp"),
+            "rank",
+        )
+    return ranked.select(
+        "probe_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame | None = None,
+    # defaults = the gated config: recall@10 = 0.925 vs brute force on the
+    # synthetic near-orthogonal (hard-regime) corpus — measured sweep:
+    # (16,4)=0.83 (16,6)=0.885 (16,8)=0.925 (32,8)=0.87 (8,4)=0.815;
+    # tests/test_dedup_scale.py::test_ivf_recall_vs_brute_force pins >=0.9.
+    # Clustered real-world embeddings reach the same recall at much lower
+    # n_probe/n_centroids ratios; probing half the cells is the price of
+    # the worst-case regime, not the expected operating point.
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    k: int = 10,
+    emit_bp: bool = False,
+) -> DataFrame:
+    """IVF-flat ANN: the inverted-file counterpart to ``lsh_bucketed_topk``.
+
+    Every corpus vector is assigned to its nearest coarse centroid (its
+    "cell"); a probe scores only the vectors in its ``n_probe`` nearest
+    cells, exact-cosine re-ranked. Complexity per probe drops from O(N)
+    to O(N * n_probe / n_centroids) expected.
+
+    Plan shape for scale: the centroid table is tiny (k-means or sampled;
+    100k centroids for a 10^9-vector corpus), so BOTH scoring joins
+    against it broadcast — the corpus never shuffles for assignment. The
+    only big shuffle is the candidate equi-join on ``cell``, whose skew
+    is bounded by the coarse quantizer's balance (re-train centroids when
+    a cell outgrows its peers; same remedy as IVF rebalancing in Faiss).
+
+    ``centroids`` defaults to the corpus rows with id < n_centroids — a
+    deterministic bootstrap that stands in for a trained quantizer and
+    keeps the whole index SQL-expressible for the cross-engine oracle
+    (see __spark_entry__.oracle_sql["ann_ivf"]). Ties (equal cosine to
+    two centroids) break toward the smaller centroid id on every path.
+    """
+    if centroids is None:
+        centroids = corpus.where(F.col(id_col) < n_centroids)
+    cent = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+    )
+
+    # cell assignment: argmax_cid cos(v, centroid), smaller cid on ties —
+    # one broadcast nested-loop + a map-side-combining max_by agg
+    scored_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    ).join(cent, how="cross").select(
+        "neighbor_id", "nv", "cid",
+        cosine_sim_col(F.col("nv"), F.col("cv")).alias("cos_c"),
+    )
+    cells = scored_c.groupBy("neighbor_id", "nv").agg(
+        F.max_by(
+            "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("tb"))
+        ).alias("cell")
+    )
+
+    # probe cells: each probe's n_probe nearest centroids
+    scored_p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
+    ).join(cent, how="cross").select(
+        "probe_id", "pv", "cid",
+        cosine_sim_col(F.col("pv"), F.col("cv")).alias("cos_c"),
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    probe_cells = (
+        scored_p.withColumn("crank", F.row_number().over(wp))
+        .where(F.col("crank") <= n_probe)
+        .select("probe_id", "pv", F.col("cid").alias("cell"))
+    )
+
+    # candidates meet on the cell; exact cosine re-rank within them
+    cands = (
+        probe_cells.join(cells, "cell")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_sim_col(F.col("pv"), F.col("nv")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    ranked = cands.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
     if emit_bp:
         return ranked.select(
             "probe_id", "neighbor_id",

@@ -10,7 +10,7 @@ __spark_entry__.oracle_sql (the DuckDB correctness oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import NOISE_WORDS, STOPWORDS
@@ -22,6 +22,7 @@ __all__ = [
     "quality_cols",
     "langid_col",
     "fingerprint_col",
+    "repetition_scores",
     "LANG_MARKERS",
 ]
 
@@ -103,6 +104,79 @@ def langid_col(text: Column) -> Column:
         )
     )
     return best["lang"]
+
+
+# Gopher-style repetition gates (Rae et al. 2021 §A1.1 use character
+# fractions over 2-grams and duplicate 5-grams; token fractions over
+# 2-/3-grams are the same signal on this corpus and stay integer-exact
+# for the cross-engine hash). Thresholds are the paper's, rescaled.
+TOP_BIGRAM_PPM_MAX = 180_000
+DUP_TRIGRAM_PPM_MAX = 300_000
+
+
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc repetition signals for boilerplate/spam filtering:
+
+    * ``top_bigram_ppm`` — share of bigram slots taken by the single most
+      frequent bigram (catches "click here click here ..." spam),
+    * ``dup_trigram_ppm`` — share of trigram slots whose trigram occurs
+      more than once (catches templated/looping text),
+    * ``repetitive`` — either signal past its Gopher-derived threshold.
+
+    Built on the posexplode + lead-window n-gram pattern (see
+    dedup.shingles_exploded for why not array higher-order functions):
+    one shuffle by doc_id for the window, then narrow (doc_id, gram) rows
+    through map-side-combining hash aggregations. No Python, no HOFs;
+    per-doc state is bounded by document length, so the plan is skew-safe
+    at 100 TB as long as single documents fit a task."""
+    tok = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(report_tokens_col(F.col(text_col))).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w1 = F.lead("w", 1).over(w)
+    w2 = F.lead("w", 2).over(w)
+    grams = tok.select(
+        "doc_id",
+        F.when(w1.isNotNull(), F.concat_ws(" ", F.col("w"), w1)).alias("bg"),
+        F.when(w2.isNotNull(), F.concat_ws(" ", F.col("w"), w1, w2)).alias("tg"),
+    )
+    bstat = (
+        grams.where(F.col("bg").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+    )
+    tstat = (
+        grams.where(F.col("tg").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("tg").alias("d_tg"),
+            F.count("tg").alias("n_tg"),
+        )
+    )
+    top_bigram = F.coalesce(
+        F.floor(F.col("top_c") * 1_000_000 / F.col("n_bg")), F.lit(0)
+    ).cast("long")
+    dup_trigram = F.coalesce(
+        F.floor((F.col("n_tg") - F.col("d_tg")) * 1_000_000 / F.col("n_tg")),
+        F.lit(0),
+    ).cast("long")
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(bstat, "doc_id", "left")
+        .join(tstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            top_bigram.alias("top_bigram_ppm"),
+            dup_trigram.alias("dup_trigram_ppm"),
+            (
+                (top_bigram > TOP_BIGRAM_PPM_MAX)
+                | (dup_trigram > DUP_TRIGRAM_PPM_MAX)
+            ).alias("repetitive"),
+        )
+    )
 
 
 def fingerprint_col(text: Column) -> Column:

@@ -1,0 +1,51 @@
+"""repetition_scores (operators/textstats.py) on hand-computed documents."""
+
+from __future__ import annotations
+
+from spacetime_crawler4py_spark.operators.textstats import repetition_scores
+
+
+def _run(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["top_bigram_ppm"], r["dup_trigram_ppm"], r["repetitive"])
+        for r in repetition_scores(df, "doc_id", "text").collect()
+    }
+
+
+def test_repetition_hand_cases(spark):
+    got = _run(
+        spark,
+        [
+            # "click here" x4: bigrams = [click here]x4 + [here click]x3
+            # -> top 4/7; trigrams 6 slots, 2 distinct -> dup 4/6
+            (1, "click here click here click here click here"),
+            # all-distinct tokens: top bigram 1/4, no dup trigrams
+            (2, "alpha beta gamma delta epsilon"),
+            # single token: no bigrams/trigrams at all
+            (3, "single"),
+            # empty text
+            (4, ""),
+            # two tokens: one bigram (top = 1/1 = 100%), no trigrams
+            (5, "aa bb"),
+        ],
+    )
+    assert got[1] == (571428, 666666, True)
+    assert got[2] == (250000, 0, True)  # 25% top bigram > 18% threshold
+    assert got[3] == (0, 0, False)
+    assert got[4] == (0, 0, False)
+    assert got[5] == (1000000, 0, True)
+
+
+def test_repetition_threshold_boundary(spark):
+    # 6 distinct tokens -> 5 distinct bigrams: top = 1/5 = 200000 ppm > gate;
+    # 12 distinct tokens -> 11 distinct bigrams: 90909 ppm < gate
+    got = _run(
+        spark,
+        [
+            (1, "aa bb cc dd ee ff"),  # 6 tokens
+            (2, " ".join(f"w{c}" for c in "abcdefghijkl")),  # 12 tokens
+        ],
+    )
+    assert got[1] == (200000, 0, True)
+    assert got[2] == (90909, 0, False)
