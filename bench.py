@@ -75,6 +75,13 @@ BENCH_QUERIES = [
 def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     qs = entry.queries()
+    # one unmeasured warmup (same policy as the crawl's warm epoch): the
+    # first job of a session pays JVM codegen, parquet footer reads, and
+    # Arrow Python-worker pool startup — measured ~5.5s charged to
+    # whatever query runs first. Warm one JVM-native and one Arrow-UDF
+    # plan so the timed loop measures steady-state per-query cost.
+    qs["top_words"](spark, sf_dir).count()
+    qs["url_seen_hash"](spark, sf_dir).count()
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
         df = qs[name](spark, sf_dir)
