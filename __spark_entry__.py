@@ -254,6 +254,51 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation decision, composed from the
+    individual operators: thin-page quality gate + Gopher repetition gate
+    → exact shingle-Jaccard near-dup pairs (>=0.3) → connected components
+    → per-cluster canonical survivor. Output one row per doc:
+    (doc_id, component_id, eligible, keep) where keep = eligible AND
+    doc_id is the minimum ELIGIBLE id of its duplicate cluster — i.e.
+    exactly the rows a downstream trainer would read."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ids = docs.select("doc_id")
+    rep = repetition_scores(docs, "doc_id", "text").select(
+        "doc_id", "repetitive"
+    )
+    ntok = docs.select(
+        "doc_id", F.size(report_tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_id").alias("a"), F.col("doc_id2").alias("b")
+    )
+    comp = dedup_assignments(ids, pairs, "doc_id")
+    scored = (
+        comp.join(rep, "doc_id")
+        .join(ntok, "doc_id")
+        .withColumn(
+            "eligible", (F.col("n_tokens") >= 20) & ~F.col("repetitive")
+        )
+    )
+    survivors = (
+        scored.where("eligible")
+        .groupBy("component_id")
+        .agg(F.min("doc_id").alias("survivor"))
+    )
+    return (
+        scored.join(survivors, "component_id", "left")
+        .select(
+            "doc_id",
+            "component_id",
+            "eligible",
+            (F.col("eligible") & (F.col("doc_id") == F.col("survivor"))).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard pairs: tokenize-once lead-window shingles,
     self-join on the 64-bit shingle hash (see dedup.shingles_exploded for
@@ -717,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_components": q_dedup_components,
         "repetition_scores": q_repetition_scores,
+        "curation_pipeline": q_curation_pipeline,
         # similarity search
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
@@ -894,6 +940,90 @@ def oracle_sql() -> dict[str, str]:
                    (top_bigram_ppm > 180000 OR dup_trigram_ppm > 300000)
                      AS repetitive
             FROM ppm
+        """,
+        "curation_pipeline": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tokens) >= 3 THEN list_distinct(
+                       list_transform(generate_series(1, len(tokens) - 2),
+                         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                     ELSE [] END AS sh
+              FROM tok
+            ),
+            sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            ov AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+              FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+              SELECT ov.a, ov.b FROM ov
+              JOIN sizes s1 ON s1.doc_id = ov.a
+              JOIN sizes s2 ON s2.doc_id = ov.b
+              WHERE floor(ov.common * 1000000.0
+                          / (s1.n_sh + s2.n_sh - ov.common)) >= 300000
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            reach(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            ),
+            comp AS (
+              SELECT src, least(src, min(dst)) AS cid FROM reach GROUP BY src
+            ),
+            assign AS (
+              SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS component_id
+              FROM documents d LEFT JOIN comp c ON c.src = d.doc_id
+            ),
+            bg AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(tokens) - 1),
+                i -> tokens[i] || ' ' || tokens[i+1]
+              )) AS g FROM tok WHERE len(tokens) >= 2
+            ),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+            bstat AS (
+              SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+              FROM bc GROUP BY doc_id
+            ),
+            t3 AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(tokens) - 2),
+                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+              )) AS g FROM tok WHERE len(tokens) >= 3
+            ),
+            tstat AS (
+              SELECT doc_id, count(*) AS n_tg, count(DISTINCT g) AS d_tg
+              FROM t3 GROUP BY doc_id
+            ),
+            elig AS (
+              SELECT t.doc_id,
+                (len(t.tokens) >= 20 AND NOT (
+                  COALESCE(CAST(floor(bs.top_c * 1000000.0 / bs.n_bg)
+                    AS BIGINT), 0) > 180000
+                  OR COALESCE(CAST(floor((ts.n_tg - ts.d_tg) * 1000000.0
+                    / ts.n_tg) AS BIGINT), 0) > 300000
+                )) AS eligible
+              FROM tok t
+              LEFT JOIN bstat bs USING (doc_id)
+              LEFT JOIN tstat ts USING (doc_id)
+            ),
+            scored AS (
+              SELECT a.doc_id, a.component_id, e.eligible
+              FROM assign a JOIN elig e USING (doc_id)
+            ),
+            surv AS (
+              SELECT component_id, min(doc_id) AS survivor
+              FROM scored WHERE eligible GROUP BY component_id
+            )
+            SELECT s.doc_id, s.component_id, s.eligible,
+                   (s.eligible AND s.doc_id = surv.survivor) AS keep
+            FROM scored s LEFT JOIN surv USING (component_id)
         """,
         "embedding_topk": """
             WITH e AS (SELECT vec_id,

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "dedup_components",
     "repetition_scores",
+    "curation_pipeline",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh",

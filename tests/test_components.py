@@ -129,3 +129,26 @@ def test_cc_over_real_minhash_pairs(spark):
         for r in dedup_assignments(corpus, pairs, "doc_id").collect()
     }
     assert got == want
+
+
+def test_curation_pipeline_invariants(spark):
+    """Composite curation query: exactly one survivor per duplicate
+    cluster that has any eligible member; no ineligible doc is kept."""
+    import __spark_entry__ as e
+
+    df = e.queries()["curation_pipeline"](spark, SF_DIR).cache()
+    assert df.where("keep AND NOT eligible").count() == 0
+    multi = (
+        df.where("keep").groupBy("component_id").count().where("count > 1")
+    )
+    assert multi.count() == 0
+    # every component with an eligible member keeps exactly one doc
+    from pyspark.sql import functions as F
+
+    per_comp = df.groupBy("component_id").agg(
+        F.max(F.col("eligible").cast("int")).alias("any_elig"),
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+    )
+    assert per_comp.where("any_elig = 1 AND n_keep != 1").count() == 0
+    assert per_comp.where("any_elig = 0 AND n_keep != 0").count() == 0
+    df.unpersist()
