@@ -26,6 +26,7 @@ __all__ = [
     "lsh_bucketed_topk",
     "int_plane_matrix",
     "ivf_topk",
+    "kmeans_centroids",
 ]
 
 
@@ -281,8 +282,13 @@ def ivf_topk(
     ``centroids`` defaults to the corpus rows with id < n_centroids — a
     deterministic bootstrap that stands in for a trained quantizer and
     keeps the whole index SQL-expressible for the cross-engine oracle
-    (see __spark_entry__.oracle_sql["ann_ivf"]). Ties (equal cosine to
-    two centroids) break toward the smaller centroid id on every path.
+    (see __spark_entry__.oracle_sql["ann_ivf"]). Pass the output of
+    ``kmeans_centroids`` to train the quantizer instead: trained cells
+    are balanced (bounded candidate-join skew) at some recall cost per
+    probe on adversarially uniform corpora — see the measured trade-off
+    in tests/test_dedup_scale.py::test_kmeans_balances_ivf_cells. Ties
+    (equal cosine to two centroids) break toward the smaller centroid id
+    on every path.
     """
     if centroids is None:
         centroids = corpus.where(F.col(id_col) < n_centroids)
@@ -339,3 +345,83 @@ def ivf_topk(
     return ranked.select(
         "probe_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank"
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 5,
+) -> DataFrame:
+    """Train an IVF coarse quantizer: spherical k-means (cosine
+    assignment, mean update) in plain DataFrame ops. Returns (cid, cv).
+
+    Shape per Lloyd iteration — the standard distributed k-means plan:
+
+    * assignment: broadcast the k centroids against the corpus (the
+      corpus never shuffles), argmax-cosine via one map-side-combining
+      max_by aggregation;
+    * update: posexplode vectors to (cell, dim, value) and hash-aggregate
+      per-dimension means — narrow rows, map-side partial aggregation,
+      one shuffle keyed by (cell, dim) with at most k*dim groups;
+    * the k new centroids (a driver-sized dim by definition) are
+      collected and re-broadcast — k*dim doubles per iteration, the same
+      driver traffic any cluster k-means implementation carries.
+
+    Deterministic init: the k corpus vectors with the smallest
+    xxhash64(id) — corpus-order-independent and seedable by the id space.
+    Mean updates sum floats in partition order, so centroid bits can
+    differ between runs on different partitionings (inherent to parallel
+    k-means); downstream IVF assignment ties are broken by cid, and the
+    quantizer is gated by the monotone-inertia property test rather than
+    a cross-engine hash. Empty cells keep their previous centroid."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    init = (
+        base.withColumn("h", F.xxhash64("id"))
+        .orderBy("h", "id")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in init]
+
+    def cent_df():
+        rows = [(i, cents[i]) for i in range(len(cents))]
+        return F.broadcast(
+            emb.sparkSession.createDataFrame(rows, "cid int, cv array<double>")
+        )
+
+    for _ in range(iters):
+        assigned = (
+            base.join(cent_df(), how="cross")
+            .select(
+                "id", "v", "cid",
+                cosine_sim_col(F.col("v"), F.col("cv")).alias("cos_c"),
+            )
+            .groupBy("id", "v")
+            .agg(
+                F.max_by(
+                    "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("tb"))
+                ).alias("cell")
+            )
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select(
+                "cell",
+                F.transform("dm", lambda s: s["m"]).alias("cv"),
+            )
+            .collect()
+        )
+        for r in means:
+            cents[r["cell"]] = [float(x) for x in r["cv"]]
+    return cent_df().select("cid", "cv")

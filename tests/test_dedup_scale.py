@@ -19,6 +19,7 @@ from spacetime_crawler4py_spark.operators.similarity_search import (
     brute_force_topk,
     int_plane_matrix,
     ivf_topk,
+    kmeans_centroids,
     lsh_bucketed_topk,
 )
 
@@ -164,6 +165,71 @@ def test_ivf_candidates_come_from_probed_cells(emb):
         assert cell_of[r.neighbor_id] in probed, (
             r.probe_id, r.neighbor_id, cell_of[r.neighbor_id], probed
         )
+
+
+def _cosine_inertia(emb, cent):
+    """Sum over vectors of (1 - best cosine to any centroid)."""
+    from spacetime_crawler4py_spark.operators.dedup import cosine_sim_col
+
+    best = (
+        emb.join(F.broadcast(cent), how="cross")
+        .select(
+            "vec_id", cosine_sim_col(F.col("v"), F.col("cv")).alias("c")
+        )
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("best"))
+    )
+    return best.agg(F.sum(1 - F.col("best"))).first()[0]
+
+
+def test_kmeans_improves_on_its_init(emb):
+    """The Lloyd invariant: 5 trained iterations must not quantize worse
+    than the hash-sampled initialization they started from."""
+    init = (
+        emb.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    trained = kmeans_centroids(emb, "vec_id", "v", k=16, iters=5).select(
+        "cid", "cv"
+    )
+    i0 = _cosine_inertia(emb, init)
+    i5 = _cosine_inertia(emb, trained)
+    assert i5 <= i0 + 1e-9, (i5, i0)
+
+
+def test_kmeans_balances_ivf_cells(emb):
+    """The production reason to train the quantizer: bounded worst-case
+    cell size (candidate-join skew). On this corpus the trained max/mean
+    cell ratio is ~1.15 vs ~1.38 for id-sampled centroids; the bound
+    below leaves fp-ordering headroom. (Recall at equal n_probe is the
+    trade-off — imbalanced sampled cells scan more of the corpus — which
+    is why ivf_topk's default centroids stay the SQL-expressible sampled
+    ones and training is opt-in.)"""
+    from spacetime_crawler4py_spark.operators.dedup import cosine_sim_col
+
+    cent = kmeans_centroids(emb, "vec_id", "v", k=16, iters=5).select(
+        "cid", "cv"
+    )
+    sizes = (
+        emb.join(F.broadcast(cent), how="cross")
+        .select(
+            "vec_id", "cid",
+            cosine_sim_col(F.col("v"), F.col("cv")).alias("c"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("c"), (-F.col("cid")).alias("t"))
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    ns = [r["n"] for r in sizes]
+    assert max(ns) / (sum(ns) / len(ns)) <= 1.3
 
 
 def test_blocked_grid_equals_single_block(emb):
