@@ -38,10 +38,17 @@ from spacetime_crawler4py_spark.operators.similarity_search import (
     ivf_topk,
     lsh_bucketed_topk,
 )
+from spacetime_crawler4py_spark.operators.linkgraph import (
+    derive_link_graph,
+    pagerank,
+)
 from spacetime_crawler4py_spark.operators.textstats import (
     LANG_MARKERS,
+    bm25_scores,
+    dup_span_stats,
     repetition_scores,
     report_tokens_col,
+    unigram_logprob,
 )
 
 # ---------------------------------------------------------------------------
@@ -115,6 +122,48 @@ _SQL_SYNTH_URLS = """
                            ELSE '/wp-json/v' || doc_id END AS url
     FROM documents
 """
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """DuckDB twin of operators.linkgraph.pagerank over the derived link
+    graph: the same fixed iterations unrolled as chained CTEs. Float
+    literals use e-notation (DOUBLE, not DECIMAL) and (1.0-0.85) is
+    computed, not folded, so both engines evaluate the identical IEEE op
+    sequence and the ppm floor is boundary-safe."""
+    ctes = [
+        "n AS (SELECT count(*) AS c FROM documents)",
+        """e AS (
+          SELECT DISTINCT CAST(doc_id AS BIGINT) AS src,
+                 (doc_id * 31 + k.k) % (SELECT c FROM n) AS dst
+          FROM documents, (SELECT unnest([1, 2, 3]) AS k) k
+          WHERE (doc_id * 31 + k.k) % (SELECT c FROM n) <> doc_id
+        )""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        (
+            "r0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "1.0e0 / (SELECT c FROM n) AS pr FROM documents)"
+        ),
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+          SELECT d.doc_id,
+                 (1.0e0 - 0.85e0) / (SELECT c FROM n)
+                 + 0.85e0 * coalesce(sum(r.pr / g.outdeg), 0.0e0) AS pr
+          FROM r{i - 1} d
+          LEFT JOIN e ON e.dst = d.doc_id
+          LEFT JOIN r{i - 1} r ON r.doc_id = e.src
+          LEFT JOIN deg g ON g.src = e.src
+          GROUP BY d.doc_id
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT doc_id, CAST(floor(pr * 1000000) AS BIGINT) AS pr_ppm
+        FROM r{iters}"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -329,6 +378,46 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard_ppm") >= 300000)
         .select("doc_id", "doc_id2", "common", "jaccard_ppm")
+    )
+
+
+_BM25_TERMS = ["window", "scan", "column"]
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the deterministically derived link
+    graph (doc i -> (i*31+k) % N for k in 1..3) — the crawl-prioritization
+    centrality a production frontier ranks hosts by. Rank floored to ppm
+    for the cross-engine hash; SQL twin unrolls the same 5 iterations as
+    chained CTEs."""
+    docs = _t(spark, sf_dir, "documents")
+    nodes = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return pagerank(nodes, derive_link_graph(docs), iters=5)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval for a fixed term bag, top-20 by floored
+    milli-score (ordering uses the floored integer, never the raw float,
+    so both engines rank identically)."""
+    return (
+        bm25_scores(
+            _spread(_t(spark, sf_dir, "documents")), "doc_id", "text",
+            _BM25_TERMS,
+        )
+        .orderBy(F.desc("score_milli"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_stats(
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", n=8
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_logprob(
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text"
     )
 
 
@@ -763,6 +852,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "repetition_scores": q_repetition_scores,
         "curation_pipeline": q_curation_pipeline,
+        "dup_spans": q_dup_spans,
+        "unigram_logprob": q_unigram_logprob,
+        # link-graph / retrieval analytics
+        "pagerank": q_pagerank,
+        "bm25_search": q_bm25_search,
         # similarity search
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
@@ -1024,6 +1118,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.component_id, s.eligible,
                    (s.eligible AND s.doc_id = surv.survivor) AS keep
             FROM scored s LEFT JOIN surv USING (component_id)
+        """,
+        "pagerank": _pagerank_sql(5),
+        "bm25_search": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     {_SQL_TOKENS} AS toks
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+            s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            h AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM h
+              WHERE term IN ({", ".join(f"'{w}'" for w in _BM25_TERMS)})
+              GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+            ),
+            sc AS (
+              SELECT tf.doc_id, count(*) AS n_hits,
+                     sum(
+                       ln(1.0e0 + (s.n_docs - dfreq.df + 0.5e0)
+                                  / (dfreq.df + 0.5e0))
+                       * (tf.tf / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0
+                            + 0.75e0 * dl.dl / s.avgdl)))
+                     ) AS score
+              FROM tf
+              JOIN dfreq USING (term)
+              JOIN dl USING (doc_id), s
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, n_hits,
+                   CAST(floor(score * 1000) AS BIGINT) AS score_milli
+            FROM sc
+            ORDER BY score_milli DESC, doc_id ASC LIMIT 20
+        """,
+        "dup_spans": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     {_SQL_TOKENS} AS tokens
+              FROM documents
+            ),
+            gr AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(tokens) - 7),
+                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                  || ' ' || tokens[i+3] || ' ' || tokens[i+4] || ' '
+                  || tokens[i+5] || ' ' || tokens[i+6] || ' ' || tokens[i+7]
+              )) AS g FROM t WHERE len(tokens) >= 8
+            ),
+            d AS (SELECT g, count(DISTINCT doc_id) AS nd FROM gr GROUP BY g),
+            p AS (
+              SELECT doc_id, count(*) AS n_windows,
+                     sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+              FROM gr JOIN d USING (g) GROUP BY doc_id
+            )
+            SELECT doc_id, n_windows,
+                   CAST(floor(CAST(n_dup AS DOUBLE) * 1000000 / n_windows)
+                        AS BIGINT) AS dup_ppm
+            FROM p
+        """,
+        "unigram_logprob": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest({_SQL_TOKENS}) AS w
+              FROM documents
+            ),
+            tot AS (SELECT count(*) AS t FROM t),
+            c AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+            p AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     sum(ln(CAST(tot.t AS DOUBLE) / c.c)) AS nll
+              FROM t JOIN c USING (w), tot GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor(nll * 1000 / n_tokens) AS BIGINT) AS nll_milli
+            FROM p
         """,
         "embedding_topk": """
             WITH e AS (SELECT vec_id,

@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "dedup_components",
     "repetition_scores",
     "curation_pipeline",
+    "dup_spans",
+    "unigram_logprob",
+    "pagerank",
+    "bm25_search",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh",

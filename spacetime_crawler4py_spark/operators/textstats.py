@@ -23,6 +23,9 @@ __all__ = [
     "langid_col",
     "fingerprint_col",
     "repetition_scores",
+    "bm25_scores",
+    "dup_span_stats",
+    "unigram_logprob",
     "LANG_MARKERS",
 ]
 
@@ -175,6 +178,163 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 (top_bigram > TOP_BIGRAM_PPM_MAX)
                 | (dup_trigram > DUP_TRIGRAM_PPM_MAX)
             ).alias("repetitive"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval over a document table: score every doc for
+    the bag of ``terms``, returned as ``(doc_id, n_hits, score_milli)``
+    for docs matching at least one term.
+
+    Lucene-flavored BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (always
+    nonnegative), tf saturation tf/(tf + k1*(1 - b + b*dl/avgdl)). The
+    score is floored to integer milli-units so the cross-engine value
+    hash tolerates sum-order float jitter; ordering downstream must use
+    (score_milli, doc_id), never the raw float.
+
+    Plan shape: tokenize once, explode, filter to the term list *before*
+    any shuffle (the filter is a tiny isin pushed into the scan-side
+    projection), then one hash-agg per (doc, term). Every stats dim —
+    per-term df, corpus N, avgdl — is a broadcast 1-row-or-k-row
+    aggregate; the only big shuffle is the (doc_id, term) tf agg whose
+    key count is bounded by |terms| * n_docs."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        report_tokens_col(F.col(text_col)).alias("toks"),
+    )
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+    )
+    hits = toks.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).where(F.col("term").isin(*terms))
+    tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = F.broadcast(
+        tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.sum(idf * tf_norm).alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_hits",
+            F.floor(F.col("score") * 1000).cast("long").alias("score_milli"),
+        )
+    )
+
+
+def dup_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Exact duplicated-span signal (the document-level readout of
+    Lee et al. 2022's exact substring dedup): per doc, the fraction of
+    its token n-gram window slots whose n-gram also occurs in at least
+    one OTHER document. Returns ``(doc_id, n_windows, dup_ppm)`` with the
+    fraction floored to integer ppm (cross-engine hash-stable).
+
+    Within-doc repetition deliberately does NOT count (that is
+    repetition_scores' job); a window is duplicated only when its gram's
+    distinct-document frequency is >= 2.
+
+    Plan shape: the lead-window n-gram pattern (see shingles_exploded for
+    why not array HOFs) — one shuffle by doc_id for the window, then the
+    gram's doc-frequency dim is a (gram, nd) hash-agg self-joined back on
+    the gram string. At 100 TB the join key would be xxhash64(gram) so
+    only 8-byte keys shuffle; at test scale the string key keeps the SQL
+    twin trivial."""
+    tok = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(report_tokens_col(F.col(text_col))).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
+    grams = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("g"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .select("doc_id", "g")
+    )
+    docfreq = grams.distinct().groupBy("g").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        grams.join(docfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        F.floor(F.col("n_dup") * 1_000_000 / F.col("n_windows"))
+        .cast("long")
+        .alias("dup_ppm"),
+    )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-LM quality proxy (the role CCNet's KenLM perplexity plays,
+    with the corpus's own unigram model standing in for the trained LM):
+    per doc, the mean negative log-probability of its tokens under the
+    corpus unigram distribution, floored to integer milli-nats. Returns
+    ``(doc_id, n_tokens, nll_milli)``; low = templated/common text, high
+    = rare-token text — both tails are curation-filter candidates.
+
+    Plan shape: one corpus-wide token count (hash agg, map-side combine),
+    joined back to the exploded token stream on the token string. The
+    unigram dim is vocabulary-sized — broadcast it when it fits (real
+    corpora: millions of rows, a few hundred MB — still broadcastable);
+    this implementation leaves the join strategy to AQE, which picks
+    broadcast at every test scale."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(report_tokens_col(F.col(text_col))).alias("w"),
+    )
+    totals = F.broadcast(toks.agg(F.count("*").alias("t")))
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    return (
+        toks.join(counts, "w")
+        .crossJoin(totals)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.log(F.col("t") / F.col("c"))).alias("nll"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("nll") * 1000 / F.col("n_tokens"))
+            .cast("long")
+            .alias("nll_milli"),
         )
     )
 
