@@ -32,6 +32,8 @@ from pyspark.sql.types import (
 __all__ = [
     "streaming_event_windows",
     "streaming_sessionize",
+    "streaming_dedup",
+    "streaming_trending_words",
     "SESSION_OUTPUT_SCHEMA",
     "SESSION_STATE_SCHEMA",
 ]
@@ -66,6 +68,62 @@ def streaming_event_windows(
         .select(
             F.unix_timestamp(F.col("w").getField("start")).alias("hour_unix"),
             "event_type", "cnt", "value_milli",
+        )
+    )
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    key_col: str = "fingerprint",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Continuous-ingestion exact dedup: keep the first document seen per
+    ``key_col`` (e.g. the md5 token-stream fingerprint from
+    textstats.fingerprint_col), with state bounded by the watermark.
+
+    ``dropDuplicatesWithinWatermark`` is the declarative form: the seen-key
+    state for a key is dropped once event time passes its timestamp +
+    watermark, so state stays O(keys per watermark window) instead of
+    O(all keys ever) — the streaming complement of the batch
+    ``exact_dup_groups`` query, with the same first-wins semantics the
+    crawl engine's seen-set uses. A duplicate arriving later than the
+    watermark re-admits the key; that is the documented trade-off of
+    bounded state (the batch dedup pass downstream catches stragglers)."""
+    docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key_col]
+    )
+
+
+def streaming_trending_words(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window word counts over an ingest stream — the streaming
+    twin of the batch top-words report: (window_unix, word, cnt) per
+    closed window, late data bounded by the watermark.
+
+    Stateless explode feeds a windowed hash aggregation; per-window state
+    is O(distinct words per window) and is dropped at the watermark.
+    Ranking/limit is left to the consumer (a global top-k inside the
+    stream would force a single-partition sort per trigger; the idiomatic
+    plan is per-window counts out, rank in the serving layer or a
+    foreachBatch)."""
+    docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .select(ts_col, F.explode(tokens_col).alias("word"))
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("w"), "word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("w").getField("start")).alias("window_unix"),
+            "word",
+            "cnt",
         )
     )
 
