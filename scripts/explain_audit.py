@@ -9,16 +9,31 @@ plan and greps for the health signals the 100TB design cares about:
 * row-at-a-time Python UDFs (BatchEvalPython = red flag; ArrowEvalPython
   and mapInPandas stages are the sanctioned Python paths)
 
-Usage: python scripts/explain_audit.py [query ...]
+Usage: python scripts/explain_audit.py [--write] [query ...]
+(--write regenerates BENCH/EXPLAIN_AUDIT.md from the full suite)
 """
 from __future__ import annotations
 
+import os
 import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.01"
+DOC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "BENCH", "EXPLAIN_AUDIT.md")
+
+DOC_HEADER = """# Physical-plan audit (scripts/explain_audit.py @ sf0.01)
+
+Signals grepped from each contract query's formatted physical plan.
+Key invariant: zero `BatchEvalPython` (row-at-a-time Python UDF) nodes —
+all Python is Arrow-batched (`ArrowEvalPython` / `MapInPandas` /
+`FlatMapGroupsInPandas`). Regenerate with
+`python scripts/explain_audit.py --write`.
+
+```
+"""
 
 SIGNALS = [
     ("BatchEvalPython", "ROW-AT-A-TIME PYTHON UDF (red flag)"),
@@ -37,12 +52,14 @@ SIGNALS = [
 
 
 def main() -> None:
-    only = set(sys.argv[1:])
+    write = "--write" in sys.argv
+    only = {a for a in sys.argv[1:] if not a.startswith("-")}
     from spacetime_crawler4py_spark.session import get_spark
     import __spark_entry__ as entry
 
     spark = get_spark(master="local[4]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    lines = []
     for name, fn in entry.queries().items():
         if only and name not in only:
             continue
@@ -60,10 +77,16 @@ def main() -> None:
             n = len(re.findall(pat, plan))
             if n:
                 hits.append(f"{label} x{n}")
-        print(f"== {name}: {'; '.join(hits) if hits else '(no signals)'}")
+        line = f"== {name}: {'; '.join(hits) if hits else '(no signals)'}"
+        lines.append(line)
+        print(line)
         if "-v" in sys.argv:
             print(plan)
     spark.stop()
+    if write and not only:
+        with open(DOC, "w") as f:
+            f.write(DOC_HEADER + "\n".join(lines) + "\n```\n")
+        print(f"[audit] wrote {DOC} ({len(lines)} queries)")
 
 
 if __name__ == "__main__":
