@@ -104,15 +104,19 @@ def connected_components(
     Isolated nodes never appear in an edge list — union the node universe
     back in afterwards (see ``dedup_assignments``).
     """
+    # lazy checkpoint + signature: the signature aggregation is the action
+    # that materializes each round's checkpoint, so every round costs ONE
+    # Spark job (scheduling overhead halves vs eager+signature; the same
+    # two-birds trick a driver loop on a 1000-executor cluster wants)
     cur = _canon(
         edges.select(
             F.col(src_col).cast("long").alias("a"),
             F.col(dst_col).cast("long").alias("b"),
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sig = _signature(cur)
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         nsig = _signature(nxt)
         cur = nxt
         if nsig == sig:
