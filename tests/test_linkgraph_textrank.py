@@ -80,6 +80,64 @@ def test_pagerank_hub_ranks_highest(spark):
     assert len(spokes) == 1 and rows[0]["pr_ppm"] > spokes.pop()
 
 
+def test_pagerank_bucketed_edges_join_is_shuffle_free_on_edges(spark):
+    """The 100TB plan shape pagerank's docstring claims: bucket the edge
+    table by src once, and every iteration's contribution join reads the
+    bucketed scan WITHOUT an Exchange above it (only the small ranks dim
+    shuffles). Broadcast + AQE are disabled so the assertion pins the
+    bucketing, not a broadcast bail-out."""
+    import uuid
+
+    tbl = f"edges_bucketed_{uuid.uuid4().hex[:8]}"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+        derive_link_graph(docs).write.bucketBy(8, "src").sortBy(
+            "src"
+        ).mode("overwrite").saveAsTable(tbl)
+        eb = spark.table(tbl)
+        ranks = docs.select("doc_id", F.lit(0.002).alias("pr"))
+        deg = eb.groupBy("src").agg(F.count("*").alias("outdeg"))
+        contrib = (
+            eb.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        plan = contrib._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        lines = plan.splitlines()
+        scan_ids = [
+            int(line.split("(")[1].split(")")[0])
+            for line in lines
+            if "Scan parquet" in line and tbl in line and line.startswith("(")
+        ]
+        assert len(scan_ids) == 2  # edges + deg both read the bucketed table
+        # an Exchange directly consuming a bucketed scan would appear as
+        # "Exchange ... (n)" whose child subtree contains the scan id; the
+        # cheap robust check: total shuffle Exchanges == 2 (ranks dim +
+        # final groupBy(dst)), i.e. NONE on either bucketed-scan branch
+        n_shuffles = sum(
+            1 for line in lines
+            if line.lstrip().startswith("(") is False
+            and "Exchange" in line and "BroadcastExchange" not in line
+            and "Reused" not in line
+        )
+        assert "SortMergeJoin" in plan
+        assert n_shuffles == 2, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 # ---------------------------------------------------------------------------
 # bm25
 # ---------------------------------------------------------------------------
