@@ -189,5 +189,29 @@ def simhash64_md5(tokens: list[str]) -> int | None:
     return _simhash_pack(h, len(tokens))
 
 
+def simhash64_md5_batch(token_lists: list[list[str]]) -> list[int | None]:
+    """Batch twin of :func:`simhash64_md5`, bit-identical per doc, with a
+    token→hash memo shared across the batch: token frequencies are Zipfian,
+    so the md5 count collapses from corpus-size to ~vocabulary-size (the
+    Arrow batch is the natural cache scope — bounded memory per task, no
+    cross-batch state)."""
+    cache: dict[str, int] = {}
+    md5 = hashlib.md5
+    out: list[int | None] = []
+    for tokens in token_lists:
+        if not tokens:
+            out.append(None)
+            continue
+        hs = np.empty(len(tokens), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            v = cache.get(t)
+            if v is None:
+                v = int.from_bytes(md5(t.encode("utf-8")).digest()[:8], "big")
+                cache[t] = v
+            hs[i] = v
+        out.append(_simhash_pack(hs, len(tokens)))
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")

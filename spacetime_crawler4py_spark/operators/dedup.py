@@ -364,7 +364,7 @@ def simhash_pairs(
 
     @pandas_udf(LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        from ..functions.fingerprint import simhash64_md5
+        from ..functions.fingerprint import simhash64_md5_batch
         from ..functions.tokenize import report_tokens
 
         def signed(v):
@@ -372,7 +372,10 @@ def simhash_pairs(
                 return None
             return v - (1 << 64) if v >= (1 << 63) else v
 
-        return texts.map(lambda t: signed(simhash64_md5(report_tokens(t or ""))))
+        sketches = simhash64_md5_batch(
+            [report_tokens(t or "") for t in texts]
+        )
+        return pd.Series([signed(v) for v in sketches], dtype="object")
 
     base = df.select(
         F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")

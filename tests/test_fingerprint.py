@@ -95,3 +95,21 @@ def test_simhash_close_for_similar_docs():
     db = fingerprint.simhash64(b)
     dc = fingerprint.simhash64(c)
     assert fingerprint.hamming64(da, db) < fingerprint.hamming64(da, dc)
+
+
+def test_simhash_md5_batch_equals_per_doc():
+    """The vocab-memoized batch path must be bit-identical to the per-doc
+    function on every shape: empty, repeated tokens, cross-doc shared
+    vocabulary, unicode."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)] + ["déjà", "naïve"]
+    docs = [[]] + [
+        [rng.choice(vocab) for _ in range(rng.randrange(1, 200))]
+        for _ in range(30)
+    ]
+    got = fingerprint.simhash64_md5_batch(docs)
+    want = [fingerprint.simhash64_md5(d) for d in docs]
+    assert got == want
+    assert got[0] is None
