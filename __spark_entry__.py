@@ -383,6 +383,77 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ["window", "scan", "column"]
 
+# curation_full gate thresholds (distribution-checked at sf0.01: dup_ppm is
+# bimodal with a near-copy mode at ~1e6; nll_milli sits in [3344, 3666] with
+# a sparse high tail past 3500)
+_DUP_SPAN_PPM_MAX = 500_000
+_NLL_MILLI_MIN = 2_000
+_NLL_MILLI_MAX = 3_500
+
+
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation decision, composing EVERY document signal the
+    engine computes: thin-page + Gopher-repetition + duplicated-span +
+    perplexity-band gates, then near-dup clustering with one survivor per
+    component. One row per doc: (doc_id, component_id, keep, drop_reason)
+    where drop_reason is the first failing gate in a fixed precedence
+    (short > repetitive > dup_span > perplexity > duplicate) and NULL for
+    kept docs — i.e. the audit trail a production pipeline logs next to
+    the training set it emits."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ids = docs.select("doc_id")
+    rep = repetition_scores(docs, "doc_id", "text").select(
+        "doc_id", "repetitive"
+    )
+    ntok = docs.select(
+        "doc_id", F.size(report_tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    spans = dup_span_stats(docs, "doc_id", "text", n=8).select(
+        "doc_id", "dup_ppm"
+    )
+    lp = unigram_logprob(docs, "doc_id", "text").select("doc_id", "nll_milli")
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_id").alias("a"), F.col("doc_id2").alias("b")
+    )
+    comp = dedup_assignments(ids, pairs, "doc_id")
+    dup_ppm = F.coalesce("dup_ppm", F.lit(0))
+    nll = F.coalesce("nll_milli", F.lit(0))
+    scored = (
+        comp.join(rep, "doc_id")
+        .join(ntok, "doc_id")
+        .join(spans, "doc_id", "left")
+        .join(lp, "doc_id", "left")
+        .withColumn(
+            "drop_reason",
+            F.when(F.col("n_tokens") < 20, "short")
+            .when(F.col("repetitive"), "repetitive")
+            .when(dup_ppm >= _DUP_SPAN_PPM_MAX, "dup_span")
+            .when(
+                (nll < _NLL_MILLI_MIN) | (nll > _NLL_MILLI_MAX), "perplexity"
+            ),
+        )
+        .withColumn("eligible", F.col("drop_reason").isNull())
+    )
+    survivors = (
+        scored.where("eligible")
+        .groupBy("component_id")
+        .agg(F.min("doc_id").alias("survivor"))
+    )
+    return (
+        scored.join(survivors, "component_id", "left")
+        .select(
+            "doc_id",
+            "component_id",
+            (F.col("eligible") & (F.col("doc_id") == F.col("survivor"))).alias(
+                "keep"
+            ),
+            F.coalesce(
+                "drop_reason",
+                F.when(F.col("doc_id") != F.col("survivor"), F.lit("duplicate")),
+            ).alias("drop_reason"),
+        )
+    )
+
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the deterministically derived link
@@ -854,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "dup_spans": q_dup_spans,
         "unigram_logprob": q_unigram_logprob,
+        "curation_full": q_curation_full,
         # link-graph / retrieval analytics
         "pagerank": q_pagerank,
         "bm25_search": q_bm25_search,
@@ -1196,6 +1268,124 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    CAST(floor(nll * 1000 / n_tokens) AS BIGINT) AS nll_milli
             FROM p
+        """,
+        "curation_full": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tokens) >= 3 THEN list_distinct(
+                       list_transform(generate_series(1, len(tokens) - 2),
+                         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                     ELSE [] END AS sh
+              FROM tok
+            ),
+            sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            ov AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+              FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            jpairs AS (
+              SELECT ov.a, ov.b FROM ov
+              JOIN sizes s1 ON s1.doc_id = ov.a
+              JOIN sizes s2 ON s2.doc_id = ov.b
+              WHERE floor(ov.common * 1000000.0
+                          / (s1.n_sh + s2.n_sh - ov.common)) >= 300000
+            ),
+            edges AS (SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs),
+            reach(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            ),
+            comp AS (
+              SELECT src, least(src, min(dst)) AS cid FROM reach GROUP BY src
+            ),
+            assign AS (
+              SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS component_id
+              FROM documents d LEFT JOIN comp c ON c.src = d.doc_id
+            ),
+            bg AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(tokens) - 1),
+                i -> tokens[i] || ' ' || tokens[i+1]
+              )) AS g FROM tok WHERE len(tokens) >= 2
+            ),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+            bstat AS (
+              SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+              FROM bc GROUP BY doc_id
+            ),
+            t3 AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(tokens) - 2),
+                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+              )) AS g FROM tok WHERE len(tokens) >= 3
+            ),
+            tstat AS (
+              SELECT doc_id, count(*) AS n_tg, count(DISTINCT g) AS d_tg
+              FROM t3 GROUP BY doc_id
+            ),
+            g8 AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(tokens) - 7),
+                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                  || ' ' || tokens[i+3] || ' ' || tokens[i+4] || ' '
+                  || tokens[i+5] || ' ' || tokens[i+6] || ' ' || tokens[i+7]
+              )) AS g FROM tok WHERE len(tokens) >= 8
+            ),
+            g8d AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g8 GROUP BY g),
+            dup AS (
+              SELECT doc_id,
+                     CAST(floor(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                          AS DOUBLE) * 1000000 / count(*)) AS BIGINT) AS dup_ppm
+              FROM g8 JOIN g8d USING (g) GROUP BY doc_id
+            ),
+            uw AS (SELECT doc_id, unnest(tokens) AS w FROM tok),
+            utot AS (SELECT count(*) AS t FROM uw),
+            uc AS (SELECT w, count(*) AS c FROM uw GROUP BY w),
+            lp AS (
+              SELECT doc_id,
+                     CAST(floor(sum(ln(CAST(utot.t AS DOUBLE) / uc.c)) * 1000
+                          / count(*)) AS BIGINT) AS nll_milli
+              FROM uw JOIN uc USING (w), utot GROUP BY doc_id
+            ),
+            scored AS (
+              SELECT a.doc_id, a.component_id,
+                CASE
+                  WHEN len(t.tokens) < 20 THEN 'short'
+                  WHEN (
+                    COALESCE(CAST(floor(bs.top_c * 1000000.0 / bs.n_bg)
+                      AS BIGINT), 0) > 180000
+                    OR COALESCE(CAST(floor((ts.n_tg - ts.d_tg) * 1000000.0
+                      / ts.n_tg) AS BIGINT), 0) > 300000
+                  ) THEN 'repetitive'
+                  WHEN COALESCE(dup.dup_ppm, 0) >= {_DUP_SPAN_PPM_MAX}
+                    THEN 'dup_span'
+                  WHEN COALESCE(lp.nll_milli, 0) < {_NLL_MILLI_MIN}
+                    OR COALESCE(lp.nll_milli, 0) > {_NLL_MILLI_MAX}
+                    THEN 'perplexity'
+                END AS drop_reason
+              FROM assign a
+              JOIN tok t USING (doc_id)
+              LEFT JOIN bstat bs USING (doc_id)
+              LEFT JOIN tstat ts USING (doc_id)
+              LEFT JOIN dup USING (doc_id)
+              LEFT JOIN lp USING (doc_id)
+            ),
+            surv AS (
+              SELECT component_id, min(doc_id) AS survivor
+              FROM scored WHERE drop_reason IS NULL GROUP BY component_id
+            )
+            SELECT s.doc_id, s.component_id,
+                   (s.drop_reason IS NULL AND s.doc_id = surv.survivor) AS keep,
+                   COALESCE(s.drop_reason,
+                     CASE WHEN s.doc_id <> surv.survivor THEN 'duplicate' END)
+                     AS drop_reason
+            FROM scored s LEFT JOIN surv USING (component_id)
         """,
         "embedding_topk": """
             WITH e AS (SELECT vec_id,

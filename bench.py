@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "dup_spans",
     "unigram_logprob",
+    "curation_full",
     "pagerank",
     "bm25_search",
     "embedding_topk",

@@ -152,3 +152,39 @@ def test_curation_pipeline_invariants(spark):
     assert per_comp.where("any_elig = 1 AND n_keep != 1").count() == 0
     assert per_comp.where("any_elig = 0 AND n_keep != 0").count() == 0
     df.unpersist()
+
+
+def test_curation_full_invariants(spark):
+    """The all-signals curation query: drop_reason is a total explanation
+    (every non-kept doc has one, every kept doc has none), reasons come
+    from the fixed vocabulary, 'duplicate' only ever names an eligible
+    non-survivor, and per-component keep counts match the eligible
+    structure."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    df = e.queries()["curation_full"](spark, SF_DIR).cache()
+    assert df.where("keep AND drop_reason IS NOT NULL").count() == 0
+    assert df.where("NOT keep AND drop_reason IS NULL").count() == 0
+    reasons = {
+        r["drop_reason"]
+        for r in df.select("drop_reason").distinct().collect()
+    }
+    assert reasons <= {None, "short", "repetitive", "dup_span",
+                       "perplexity", "duplicate"}
+    # 'duplicate' docs are eligible losers: same component must have a
+    # kept doc with a smaller id
+    dups = df.where("drop_reason = 'duplicate'").select(
+        "doc_id", "component_id"
+    )
+    kept = df.where("keep").select(
+        F.col("component_id").alias("component_id"),
+        F.col("doc_id").alias("keep_id"),
+    )
+    joined = dups.join(kept, "component_id", "left")
+    assert joined.where("keep_id IS NULL OR keep_id >= doc_id").count() == 0
+    per_comp = df.groupBy("component_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep")
+    )
+    assert per_comp.where("n_keep > 1").count() == 0
+    df.unpersist()
