@@ -26,6 +26,8 @@ __all__ = [
     "lsh_bucketed_topk",
     "int_plane_matrix",
     "ivf_topk",
+    "build_ivf_index",
+    "ivf_topk_indexed",
     "kmeans_centroids",
 ]
 
@@ -298,21 +300,42 @@ def ivf_topk(
         )
     )
 
-    # cell assignment: argmax_cid cos(v, centroid), smaller cid on ties —
-    # one broadcast nested-loop + a map-side-combining max_by agg
+    cells = _ivf_cell_assignments(corpus, cent, id_col, vec_col)
+    probe_cells = _ivf_probe_cells(probes, cent, id_col, vec_col, n_probe)
+    ranked = _ivf_rerank(probe_cells, cells, k)
+    if emit_bp:
+        return ranked.select(
+            "probe_id", "neighbor_id",
+            F.floor(F.col("cos") * 10000).cast("long").alias("cos_bp"),
+            "rank",
+        )
+    return ranked.select(
+        "probe_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank"
+    )
+
+
+def _ivf_cell_assignments(
+    corpus: DataFrame, cent: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(neighbor_id, nv, cell): argmax_cid cos(v, centroid), smaller cid
+    on ties — one broadcast nested-loop + a map-side-combining max_by agg."""
     scored_c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
     ).join(cent, how="cross").select(
         "neighbor_id", "nv", "cid",
         cosine_sim_col(F.col("nv"), F.col("cv")).alias("cos_c"),
     )
-    cells = scored_c.groupBy("neighbor_id", "nv").agg(
+    return scored_c.groupBy("neighbor_id", "nv").agg(
         F.max_by(
             "cid", F.struct(F.col("cos_c"), (-F.col("cid")).alias("tb"))
         ).alias("cell")
     )
 
-    # probe cells: each probe's n_probe nearest centroids
+
+def _ivf_probe_cells(
+    probes: DataFrame, cent: DataFrame, id_col: str, vec_col: str, n_probe: int
+) -> DataFrame:
+    """(probe_id, pv, cell): each probe's n_probe nearest centroids."""
     scored_p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
     ).join(cent, how="cross").select(
@@ -320,28 +343,79 @@ def ivf_topk(
         cosine_sim_col(F.col("pv"), F.col("cv")).alias("cos_c"),
     )
     wp = Window.partitionBy("probe_id").orderBy(F.desc("cos_c"), F.asc("cid"))
-    probe_cells = (
+    return (
         scored_p.withColumn("crank", F.row_number().over(wp))
         .where(F.col("crank") <= n_probe)
         .select("probe_id", "pv", F.col("cid").alias("cell"))
     )
 
-    # candidates meet on the cell; exact cosine re-rank within them
+
+def _ivf_rerank(probe_cells: DataFrame, cells: DataFrame, k: int) -> DataFrame:
+    """Candidates meet on the cell; exact cosine re-rank within them."""
     cands = (
         probe_cells.join(cells, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine_sim_col(F.col("pv"), F.col("nv")))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    ranked = cands.withColumn("rank", F.row_number().over(w)).where(
+    return cands.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
-    if emit_bp:
-        return ranked.select(
-            "probe_id", "neighbor_id",
-            F.floor(F.col("cos") * 10000).cast("long").alias("cos_bp"),
-            "rank",
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    table: str,
+    centroids: DataFrame,
+    buckets: int = 8,
+) -> None:
+    """Materialize the inverted file — ``(neighbor_id, nv, cell)`` — as a
+    table bucketed and sorted by ``cell``: the build-once/query-many half
+    of IVF. ``ivf_topk`` recomputes the assignment per query batch, which
+    is right for one-shot jobs; a serving workload assigns the corpus
+    once and then every probe batch's candidate join reads the bucketed
+    scan with NO shuffle on the corpus side (pinned by
+    tests/test_dedup_scale.py::test_ivf_indexed plan test). Rebuild when
+    the quantizer retrains (same rebuild trigger as Faiss IVF).
+
+    Pass the same ``centroids`` frame to :func:`ivf_topk_indexed` — cell
+    ids are meaningless under any other quantizer."""
+    cent = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
         )
+    )
+    (
+        _ivf_cell_assignments(corpus, cent, id_col, vec_col)
+        .write.bucketBy(buckets, "cell")
+        .sortBy("cell")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    table: str,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    n_probe: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """ANN top-k against a persisted inverted file built by
+    :func:`build_ivf_index`; row-identical to ``ivf_topk`` with the same
+    corpus/centroids/params (pinned by test)."""
+    cent = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+    )
+    probe_cells = _ivf_probe_cells(probes, cent, id_col, vec_col, n_probe)
+    ranked = _ivf_rerank(probe_cells, spark.table(table), k)
     return ranked.select(
         "probe_id", "neighbor_id", F.round("cos", 4).alias("cos_sim"), "rank"
     )

@@ -232,6 +232,69 @@ def test_kmeans_balances_ivf_cells(emb):
     assert max(ns) / (sum(ns) / len(ns)) <= 1.3
 
 
+def test_ivf_indexed_equals_direct_and_skips_corpus_shuffle(spark, emb):
+    """build_ivf_index + ivf_topk_indexed must return row-identical
+    results to the one-shot ivf_topk under the same quantizer/params, and
+    the probe-time candidate join must NOT shuffle the persisted inverted
+    file (the build-once/query-many contract: with broadcast and AQE off,
+    the only shuffles are the probe side and the re-rank window)."""
+    import uuid
+
+    from spacetime_crawler4py_spark.operators.similarity_search import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    tbl = f"ivf_inv_{uuid.uuid4().hex[:8]}"
+    cent = emb.where(F.col("vec_id") < 16).select("vec_id", "v")
+    probes = emb.where(F.col("vec_id") < 10)
+    try:
+        build_ivf_index(emb, "vec_id", "v", tbl, centroids=cent)
+        got = ivf_topk_indexed(
+            spark, tbl, probes, "vec_id", "v", cent, n_probe=4, k=5
+        )
+        want = ivf_topk(
+            emb, probes, "vec_id", "v", centroids=cent, n_probe=4, k=5
+        )
+        rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+        assert rows(got) == rows(want) and got.count() > 0
+
+        # A/B the plan against an UNBUCKETED copy of the same inverted
+        # file: the bucketed layout must save exactly the corpus-side
+        # Exchange (probe pipeline legitimately shuffles 3x: probe_id
+        # window -> cell join -> probe_id re-rank window)
+        flat = f"{tbl}_flat"
+        spark.table(tbl).write.mode("overwrite").saveAsTable(flat)
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+            def n_shuffles(table_name):
+                plan = ivf_topk_indexed(
+                    spark, table_name, probes, "vec_id", "v", cent,
+                    n_probe=4, k=5,
+                )._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("formatted")
+                )
+                assert "SortMergeJoin" in plan
+                return sum(
+                    1 for ln in plan.splitlines()
+                    if not ln.lstrip().startswith("(")
+                    and "Exchange" in ln and "BroadcastExchange" not in ln
+                    and "Reused" not in ln
+                )
+            assert n_shuffles(flat) == n_shuffles(tbl) + 1 == 4
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            spark.sql(f"DROP TABLE IF EXISTS {flat}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_blocked_grid_equals_single_block(emb):
     """The distributed block-pair grid (no driver collect) must produce
     identical pairs regardless of block count."""
