@@ -492,6 +492,41 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event joined to its user's latest
+    order at event time (backward-inclusive as-of join; see
+    operators/asof.py for the union+window plan). The right side is
+    deduped to one order per (user, date) first — max orderkey wins — so
+    equal-timestamp semantics are engine-independent; the DuckDB oracle
+    is a native ASOF JOIN over the same deduped side."""
+    from spacetime_crawler4py_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    enriched = asof_join(
+        events, orders,
+        on="user_id", left_ts="ts", right_ts="ots",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+
+
 def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings quantized to integer-valued doubles (floor(x*1000)):
     integer sums are exact in fp64 regardless of accumulation order, so the
@@ -926,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "unigram_logprob": q_unigram_logprob,
         "curation_full": q_curation_full,
+        "asof_latest_order": q_asof_latest_order,
         # link-graph / retrieval analytics
         "pagerank": q_pagerank,
         "bm25_search": q_bm25_search,
@@ -1386,6 +1422,19 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN s.doc_id <> surv.survivor THEN 'duplicate' END)
                      AS drop_reason
             FROM scored s LEFT JOIN surv USING (component_id)
+        """,
+        "asof_latest_order": """
+            WITH r AS (
+              SELECT o_custkey AS user_id, o_orderdate AS ots,
+                     max(o_orderkey) AS o_orderkey,
+                     arg_max(o_totalprice, o_orderkey) AS o_totalprice
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                   r.o_orderkey,
+                   CAST(floor(r.o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM events e
+            ASOF JOIN r ON e.user_id = r.user_id AND e.ts >= r.ots
         """,
         "embedding_topk": """
             WITH e AS (SELECT vec_id,

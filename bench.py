@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "first_seen",
     "token_bucket_dequeue",
     "revenue_rollup",
+    "asof_latest_order",
     "url_seen_hash",
     "is_valid_filter",
     "robots_gate",
