@@ -527,6 +527,42 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution rollup via the binned range join: every purchase
+    opens a 2-hour window [ts, ts+2h]; count + value-sum the same user's
+    click/view events inside it (bin = 2h, so each interval explodes to
+    <= 2 bins). The DuckDB oracle runs the same containment as a raw
+    inequality join — fine at oracle scale, quadratic poison at 100 TB,
+    which is what the binning exists to avoid."""
+    from spacetime_crawler4py_spark.operators.asof import range_join_binned
+
+    win_us = 2 * 3_600_000_000
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", us.alias("p"), "value"
+    )
+    wins = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us.alias("s"),
+        (us + F.lit(win_us)).alias("en"),
+    )
+    return (
+        range_join_binned(
+            pts, wins, left_point="p", right_start="s", right_end="en",
+            bin_width=win_us, on="user_id",
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_follow"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+                "value_milli"
+            ),
+        )
+    )
+
+
 def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings quantized to integer-valued doubles (floor(x*1000)):
     integer sums are exact in fp64 regardless of accumulation order, so the
@@ -962,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "curation_full": q_curation_full,
         "asof_latest_order": q_asof_latest_order,
+        "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
         "pagerank": q_pagerank,
         "bm25_search": q_bm25_search,
@@ -1435,6 +1472,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(r.o_totalprice * 100) AS BIGINT) AS total_cents
             FROM events e
             ASOF JOIN r ON e.user_id = r.user_id AND e.ts >= r.ots
+        """,
+        "range_window_rollup": """
+            WITH pts AS (
+              SELECT user_id, epoch_us(ts) AS p, value FROM events
+              WHERE event_type IN ('click', 'view')
+            ),
+            wins AS (
+              SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 7200000000 AS en
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT w.purchase_id, count(*) AS n_follow,
+                   sum(CAST(floor(pts.value * 1000) AS BIGINT)) AS value_milli
+            FROM pts JOIN wins w
+              ON pts.user_id = w.user_id AND pts.p >= w.s AND pts.p <= w.en
+            GROUP BY 1
         """,
         "embedding_topk": """
             WITH e AS (SELECT vec_id,

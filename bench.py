@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "token_bucket_dequeue",
     "revenue_rollup",
     "asof_latest_order",
+    "range_window_rollup",
     "url_seen_hash",
     "is_valid_filter",
     "robots_gate",

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join_binned"]
 
 
 def asof_join(
@@ -101,4 +101,49 @@ def asof_join(
     return out.select(
         F.col("_row.*"),
         *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+    on: str | None = None,
+) -> DataFrame:
+    """Interval-containment join (``start <= point <= end``, inclusive)
+    without the nested-loop explosion — Spark plans a raw inequality join
+    as BroadcastNestedLoop/cartesian, which is quadratic the moment the
+    intervals side stops fitting in a broadcast.
+
+    The scalable composition is binning: every interval explodes to the
+    integer bins it overlaps (fanout bounded by interval_length /
+    bin_width + 1 — pick bin_width near the typical interval length so
+    fanout is ~2), points carry their single bin, and the join becomes a
+    shuffle equi-join on (bin[, key]) followed by the exact BETWEEN
+    filter. A (point, interval) pair can only meet in the point's one
+    bin, so no dedup pass is needed. Point/start/end are numeric
+    (epoch micros for time); ``on`` adds an equality key to the join."""
+    lb = left.withColumn(
+        "_bin", F.floor(F.col(left_point) / F.lit(bin_width))
+    )
+    rb = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / F.lit(bin_width)),
+                F.floor(F.col(right_end) / F.lit(bin_width)),
+            )
+        ),
+    )
+    keys = ["_bin"] + ([on] if on else [])
+    return (
+        lb.join(rb, keys)
+        .where(
+            (F.col(left_point) >= F.col(right_start))
+            & (F.col(left_point) <= F.col(right_end))
+        )
+        .drop("_bin")
     )
