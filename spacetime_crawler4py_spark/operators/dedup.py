@@ -33,6 +33,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "minhash_lsh_verified_pairs",
+    "minhash_native_bands",
     "simhash_pairs",
     "cosine_sim_col",
     "embedding_near_dup_pairs",
@@ -230,14 +231,57 @@ def _lsh_candidate_ids(base: DataFrame, max_bucket: int | None = None) -> DataFr
     Only the narrow (id, b_idx, b_val) rows shuffle — signatures are
     re-joined by callers *after* the pair dedup, so the wide sig arrays
     never ride through the join + dropDuplicates shuffles (round-1 bench
-    flagged that as the minhash hot spot).
+    flagged that as the minhash hot spot)."""
+    bnd = base.select("id", F.posexplode("bands").alias("b_idx", "b_val"))
+    return _candidates_from_blocks(bnd, max_bucket)
+
+
+def minhash_native_bands(
+    ex: DataFrame, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """Banded minhash bucket rows ``(id, b_idx, b_val)`` computed entirely
+    JVM-side from exploded shingle hashes ``(id, gh)``.
+
+    sig_i = min over shingles of xxhash64(i, gh) — hashing the permutation
+    index alongside the shingle hash gives ``num_perm`` independent hash
+    functions from Spark's built-in xxhash64, so the whole signature is one
+    hash-aggregate with map-side partial mins (no Python workers, no Arrow
+    transfer, and the tokenize/shingle pass is SHARED with the exact
+    verification join instead of running twice). Band buckets are
+    xxhash64 over the band's signature slice. Docs with no shingles carry
+    no rows, hence emit no candidate pairs — identical to the verified-
+    pairs semantics, where a pair needs at least one common shingle."""
+    rows = num_perm // bands
+    sigs = ex.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("gh"))).alias(f"_s{i}")
+            for i in range(num_perm)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b_idx"),
+            F.xxhash64(*[F.col(f"_s{b * rows + r}") for r in range(rows)]).alias(
+                "b_val"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("id", "bd.b_idx", "bd.b_val")
+
+
+def _candidates_from_blocks(
+    bnd: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """(id, id2) pairs sharing any (b_idx, b_val) bucket, id < id2.
 
     max_bucket, when set, drops band buckets shared by more than that many
     docs before pairing — the LSH analog of the frequent-shingle cap: a
     boilerplate bucket of D docs would emit D^2 pairs. Dropped buckets cost
     recall only for pairs whose every other band also overflows, which at
     sane banding means boilerplate, not near-dup, content."""
-    bnd = base.select("id", F.posexplode("bands").alias("b_idx", "b_val"))
     if max_bucket is not None:
         w = Window.partitionBy("b_idx", "b_val")
         bnd = (
@@ -291,6 +335,7 @@ def minhash_lsh_verified_pairs(
     bands: int = 16,
     n: int = 3,
     max_bucket: int | None = None,
+    scheme: str = "native",
 ) -> DataFrame:
     """The production LSH dedup shape: banded-minhash candidate generation
     followed by *exact* shingle-Jaccard verification of the candidates
@@ -303,13 +348,28 @@ def minhash_lsh_verified_pairs(
     against a pure ANSI-SQL oracle, unlike the raw estimate. Cost scales
     with candidate volume, not N^2: the per-pair intersection is computed
     by expanding only candidate pairs over the left doc's shingles and
-    equi-joining on (id2, shingle_hash)."""
-    cand_ids = _lsh_candidate_ids(
-        _minhash_base(df, id_col, text_col, num_perm, bands), max_bucket
-    )
+    equi-joining on (id2, shingle_hash).
+
+    scheme picks the signature kernel: "native" (default) derives the
+    signatures from the SAME exploded shingle-hash pass the verification
+    join uses (minhash_native_bands — one tokenization, zero Python
+    workers, everything whole-stage codegen); "python" is the splitmix64
+    Arrow-UDF kernel that matches the engine's persisted sketch scheme
+    (fingerprint.SKETCH_SCHEME) for cross-checking stored signatures.
+    Either way the output is the exact verified pair set — the scheme only
+    moves the candidate-recall s-curve, which the containment pytest gates
+    for both kernels."""
     ex = shingles_exploded(df, id_col, text_col, n).select(
         "id", F.xxhash64("g").alias("gh")
     )
+    if scheme == "native":
+        cand_ids = _candidates_from_blocks(
+            minhash_native_bands(ex, num_perm, bands), max_bucket
+        )
+    else:
+        cand_ids = _lsh_candidate_ids(
+            _minhash_base(df, id_col, text_col, num_perm, bands), max_bucket
+        )
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     common = (
         cand_ids.join(ex, "id")

@@ -47,11 +47,28 @@ def _pair_set(df, a="id", b="id2"):
 
 def test_lsh_candidates_contain_exact_pairs(docs):
     """The LSH guarantee the verified-pairs oracle depends on: every exact
-    Jaccard pair above tau is an LSH candidate (recall 1 on this corpus)."""
-    exact = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    Jaccard pair above tau is an LSH candidate (recall 1 on this corpus)
+    — for BOTH signature kernels (the JVM-native xxhash64 family and the
+    engine's splitmix64 Arrow-UDF scheme)."""
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4py_spark.operators.dedup import (
+        _candidates_from_blocks,
+        minhash_native_bands,
+        shingles_exploded,
+    )
+
+    exact = _pair_set(ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3))
     cands = _lsh_candidate_ids(_minhash_base(docs, "doc_id", "text", 64, 16))
-    missing = _pair_set(exact) - _pair_set(cands)
-    assert not missing, f"LSH missed exact pairs: {sorted(missing)[:5]}"
+    missing = exact - _pair_set(cands)
+    assert not missing, f"python-kernel LSH missed exact pairs: {sorted(missing)[:5]}"
+
+    ex = shingles_exploded(docs, "doc_id", "text", 3).select(
+        "id", F.xxhash64("g").alias("gh")
+    )
+    native = _candidates_from_blocks(minhash_native_bands(ex, 64, 16))
+    missing = exact - _pair_set(native)
+    assert not missing, f"native-kernel LSH missed exact pairs: {sorted(missing)[:5]}"
 
 
 def test_minhash_verified_equals_exact(docs):
