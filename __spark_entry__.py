@@ -48,6 +48,7 @@ from spacetime_crawler4py_spark.operators.textstats import (
     dup_span_stats,
     repetition_scores,
     report_tokens_col,
+    tokens_exploded,
     unigram_logprob,
 )
 
@@ -310,16 +311,26 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     → per-cluster canonical survivor. Output one row per doc:
     (doc_id, component_id, eligible, keep) where keep = eligible AND
     doc_id is the minimum ELIGIBLE id of its duplicate cluster — i.e.
-    exactly the rows a downstream trainer would read."""
+    exactly the rows a downstream trainer would read.
+
+    All token-derived signals (repetition, thin-page count, shingle
+    pairs) feed off ONE lazily-checkpointed tokens_exploded pass — the
+    text column is scanned and tokenized once, not once per signal (see
+    textstats.tokens_exploded for why Catalyst can't do this reuse
+    itself)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     ids = docs.select("doc_id")
-    rep = repetition_scores(docs, "doc_id", "text").select(
+    tok = tokens_exploded(docs, "doc_id", "text").localCheckpoint(eager=False)
+    rep = repetition_scores(docs, "doc_id", "text", tokens=tok).select(
         "doc_id", "repetitive"
     )
-    ntok = docs.select(
-        "doc_id", F.size(report_tokens_col(F.col("text"))).alias("n_tokens")
+    ntok = ids.join(
+        tok.groupBy("doc_id").agg(F.count("*").alias("_nt")), "doc_id", "left"
+    ).select("doc_id", F.coalesce("_nt", F.lit(0)).alias("n_tokens"))
+    ex = shingles_exploded(docs, "doc_id", "text", 3, tokens=tok).select(
+        F.col("id").alias("doc_id"), F.xxhash64("g").alias("gh")
     )
-    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select(
+    pairs = _ngram_pairs_from_ex(ex).select(
         F.col("doc_id").alias("a"), F.col("doc_id2").alias("b")
     )
     comp = dedup_assignments(ids, pairs, "doc_id")
@@ -355,6 +366,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = shingles_exploded(
         _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", 3
     ).select(F.col("id").alias("doc_id"), F.xxhash64("g").alias("gh"))
+    return _ngram_pairs_from_ex(ex)
+
+
+def _ngram_pairs_from_ex(ex: DataFrame) -> DataFrame:
+    """Exact Jaccard pairs (>= 0.3, integer ppm) from an exploded
+    ``(doc_id, gh)`` shingle-hash stream — shared by the standalone query
+    and the curation compositions (which feed it from the single
+    checkpointed token pass)."""
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     other = ex.select(F.col("doc_id").alias("doc_id2"), "gh")
     overlaps = (
@@ -399,20 +418,31 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     where drop_reason is the first failing gate in a fixed precedence
     (short > repetitive > dup_span > perplexity > duplicate) and NULL for
     kept docs — i.e. the audit trail a production pipeline logs next to
-    the training set it emits."""
+    the training set it emits.
+
+    Five signals, ONE text scan: every token-derived branch (repetition,
+    thin-page count, dup-span, unigram NLL, shingle pairs) reads the same
+    lazily-checkpointed tokens_exploded stream instead of re-tokenizing
+    100 TB per signal."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     ids = docs.select("doc_id")
-    rep = repetition_scores(docs, "doc_id", "text").select(
+    tok = tokens_exploded(docs, "doc_id", "text").localCheckpoint(eager=False)
+    rep = repetition_scores(docs, "doc_id", "text", tokens=tok).select(
         "doc_id", "repetitive"
     )
-    ntok = docs.select(
-        "doc_id", F.size(report_tokens_col(F.col("text"))).alias("n_tokens")
-    )
-    spans = dup_span_stats(docs, "doc_id", "text", n=8).select(
+    ntok = ids.join(
+        tok.groupBy("doc_id").agg(F.count("*").alias("_nt")), "doc_id", "left"
+    ).select("doc_id", F.coalesce("_nt", F.lit(0)).alias("n_tokens"))
+    spans = dup_span_stats(docs, "doc_id", "text", n=8, tokens=tok).select(
         "doc_id", "dup_ppm"
     )
-    lp = unigram_logprob(docs, "doc_id", "text").select("doc_id", "nll_milli")
-    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select(
+    lp = unigram_logprob(docs, "doc_id", "text", tokens=tok).select(
+        "doc_id", "nll_milli"
+    )
+    ex = shingles_exploded(docs, "doc_id", "text", 3, tokens=tok).select(
+        F.col("id").alias("doc_id"), F.xxhash64("g").alias("gh")
+    )
+    pairs = _ngram_pairs_from_ex(ex).select(
         F.col("doc_id").alias("a"), F.col("doc_id2").alias("b")
     )
     comp = dedup_assignments(ids, pairs, "doc_id")

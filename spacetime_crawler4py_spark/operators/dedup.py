@@ -77,7 +77,11 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 
 def shingles_exploded(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct word n-grams per doc in exploded shape ``(id, g)``.
 
@@ -88,11 +92,18 @@ def shingles_exploded(
     common-subexpression elimination) — measured ~25x slower. Here the
     tokenizer runs exactly once per doc, tokens posexplode map-side, and
     shingle assembly is a lead() window over (id, pos) — all codegen, one
-    shuffle of narrow rows."""
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(report_tokens_col(F.col(text_col))).alias("pos", "w"),
-    )
+    shuffle of narrow rows.
+
+    tokens, when given, is a pre-computed textstats.tokens_exploded stream
+    (doc_id, pos, w) shared with the other token-derived signals, so a
+    composition scans the text column once."""
+    if tokens is not None:
+        tok = tokens.select(F.col("doc_id").alias("id"), "pos", "w")
+    else:
+        tok = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(report_tokens_col(F.col(text_col))).alias("pos", "w"),
+        )
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
     return (

@@ -17,6 +17,7 @@ from ..functions.tokenize import NOISE_WORDS, STOPWORDS
 
 __all__ = [
     "report_tokens_col",
+    "tokens_exploded",
     "word_count_col",
     "stopword_count_col",
     "quality_cols",
@@ -41,6 +42,26 @@ def report_tokens_col(text: Column) -> Column:
 
 def word_count_col(text: Column) -> Column:
     return F.size(report_tokens_col(text))
+
+
+def tokens_exploded(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The shared token stream ``(doc_id BIGINT, pos INT, w STRING)`` every
+    token-derived signal consumes. Compositions that need several signals
+    over the same corpus (curation_pipeline/curation_full) compute this
+    ONCE — ``.localCheckpoint(eager=False)`` materializes it on first use —
+    and pass it via the operators' ``tokens`` parameter, so 100 TB of text
+    is scanned and tokenized once instead of once per signal. (Catalyst
+    cannot de-duplicate the branches itself: per-branch column pruning
+    makes the candidate exchanges non-identical, so ReusedExchange never
+    fires — measured in round 3.)
+
+    Zero-token docs carry no rows; consumers reconstruct n_tokens = 0 with
+    a left join + coalesce, which matches ``size(report_tokens_col(...))``
+    for non-null text."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(report_tokens_col(F.col(text_col))).alias("pos", "w"),
+    )
 
 
 def stopword_count_col(tokens: Column) -> Column:
@@ -117,7 +138,12 @@ TOP_BIGRAM_PPM_MAX = 180_000
 DUP_TRIGRAM_PPM_MAX = 300_000
 
 
-def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc repetition signals for boilerplate/spam filtering:
 
     * ``top_bigram_ppm`` — share of bigram slots taken by the single most
@@ -131,11 +157,12 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     one shuffle by doc_id for the window, then narrow (doc_id, gram) rows
     through map-side-combining hash aggregations. No Python, no HOFs;
     per-doc state is bounded by document length, so the plan is skew-safe
-    at 100 TB as long as single documents fit a task."""
-    tok = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.posexplode(report_tokens_col(F.col(text_col))).alias("pos", "w"),
-    )
+    at 100 TB as long as single documents fit a task.
+
+    tokens, when given, is a pre-computed tokens_exploded stream (shared
+    across signals by the curation compositions); otherwise the text is
+    tokenized here."""
+    tok = tokens if tokens is not None else tokens_exploded(df, id_col, text_col)
     w = Window.partitionBy("doc_id").orderBy("pos")
     w1 = F.lead("w", 1).over(w)
     w2 = F.lead("w", 2).over(w)
@@ -248,7 +275,11 @@ def bm25_scores(
 
 
 def dup_span_stats(
-    df: DataFrame, id_col: str, text_col: str, n: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-span signal (the document-level readout of
     Lee et al. 2022's exact substring dedup): per doc, the fraction of
@@ -265,11 +296,9 @@ def dup_span_stats(
     gram's doc-frequency dim is a (gram, nd) hash-agg self-joined back on
     the gram string. At 100 TB the join key would be xxhash64(gram) so
     only 8-byte keys shuffle; at test scale the string key keeps the SQL
-    twin trivial."""
-    tok = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.posexplode(report_tokens_col(F.col(text_col))).alias("pos", "w"),
-    )
+    twin trivial. tokens, when given, is a pre-computed tokens_exploded
+    stream shared across signals."""
+    tok = tokens if tokens is not None else tokens_exploded(df, id_col, text_col)
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
     grams = (
@@ -301,7 +330,12 @@ def dup_span_stats(
     )
 
 
-def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens: DataFrame | None = None,
+) -> DataFrame:
     """Corpus-LM quality proxy (the role CCNet's KenLM perplexity plays,
     with the corpus's own unigram model standing in for the trained LM):
     per doc, the mean negative log-probability of its tokens under the
@@ -314,10 +348,12 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     unigram dim is vocabulary-sized — broadcast it when it fits (real
     corpora: millions of rows, a few hundred MB — still broadcastable);
     this implementation leaves the join strategy to AQE, which picks
-    broadcast at every test scale."""
-    toks = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(report_tokens_col(F.col(text_col))).alias("w"),
+    broadcast at every test scale. tokens, when given, is a pre-computed
+    tokens_exploded stream shared across signals."""
+    toks = (
+        tokens.select("doc_id", "w")
+        if tokens is not None
+        else tokens_exploded(df, id_col, text_col).select("doc_id", "w")
     )
     totals = F.broadcast(toks.agg(F.count("*").alias("t")))
     counts = toks.groupBy("w").agg(F.count("*").alias("c"))

@@ -49,3 +49,55 @@ def test_repetition_threshold_boundary(spark):
     )
     assert got[1] == (200000, 0, True)
     assert got[2] == (90909, 0, False)
+
+
+def test_shared_tokens_param_equals_internal_tokenize(spark):
+    """The tokens= fast path (one shared tokens_exploded stream, the
+    curation compositions' single-text-scan shape) must be result-identical
+    to each operator tokenizing internally — including zero-token docs."""
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4py_spark.operators.dedup import shingles_exploded
+    from spacetime_crawler4py_spark.operators.textstats import (
+        dup_span_stats,
+        tokens_exploded,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "click here click here click here click here click here"),
+            (4, ""),
+            (5, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    tok = tokens_exploded(docs, "doc_id", "text").localCheckpoint(eager=False)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(repetition_scores(docs, "doc_id", "text", tokens=tok)) == rows(
+        repetition_scores(docs, "doc_id", "text")
+    )
+    assert rows(dup_span_stats(docs, "doc_id", "text", n=3, tokens=tok)) == rows(
+        dup_span_stats(docs, "doc_id", "text", n=3)
+    )
+    assert rows(unigram_logprob(docs, "doc_id", "text", tokens=tok)) == rows(
+        unigram_logprob(docs, "doc_id", "text")
+    )
+    assert rows(
+        shingles_exploded(docs, "doc_id", "text", 3, tokens=tok)
+    ) == rows(shingles_exploded(docs, "doc_id", "text", 3))
+    n_tok = docs.join(
+        tok.groupBy("doc_id").agg(F.count("*").alias("_nt")), "doc_id", "left"
+    ).select("doc_id", F.coalesce("_nt", F.lit(0)).alias("n"))
+    expect = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]{2,}"), 0)
+        ).alias("n"),
+    )
+    assert rows(n_tok) == rows(expect)
