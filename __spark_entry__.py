@@ -38,6 +38,11 @@ from spacetime_crawler4py_spark.operators.similarity_search import (
     ivf_topk,
     lsh_bucketed_topk,
 )
+from spacetime_crawler4py_spark.operators.sampling import (
+    sample_key_col,
+    stratified_hash_sample,
+    stratum_decile_stats,
+)
 from spacetime_crawler4py_spark.operators.linkgraph import (
     derive_link_graph,
     pagerank,
@@ -397,6 +402,49 @@ def _ngram_pairs_from_ex(ex: DataFrame) -> DataFrame:
         )
         .where(F.col("jaccard_ppm") >= 300000)
         .select("doc_id", "doc_id2", "common", "jaccard_ppm")
+    )
+
+
+# stratified corpus-sampling rates for the contract query: three mixture
+# tiers over the 20 synthetic sources (the 4-hex-digit thresholds quantize
+# to k/65536 — see operators/sampling.py)
+_SAMPLE_RATES = {
+    f"src{i}": (0.25, 0.5, 0.75)[i % 3] for i in range(20)
+}
+
+# the same per-source thresholds as a portable SQL CASE expression, for the
+# DuckDB oracle (thresholds quantized identically: floor(rate * 65536) hex)
+_SQL_SAMPLE_THRESHOLD = (
+    "CASE "
+    + " ".join(
+        f"WHEN source = '{s}' THEN '{int(r * 65536):04x}'"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    + " ELSE '0000' END"
+)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling — the mixture-weighting
+    step of a training-data build. Keep decisions are a pure function of
+    (salt, doc_id) via an md5 threshold, so the sample is reproducible
+    across partitionings, cluster sizes, and engines (the oracle recomputes
+    the identical expression in DuckDB); Spark's own df.sample is
+    per-partition-seeded and cannot make that guarantee."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(docs, "doc_id", "source", _SAMPLE_RATES)
+    return kept.select(
+        "doc_id", "source",
+        sample_key_col(F.col("doc_id")).alias("sample_key"),
+    )
+
+
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length-decile stats — the corpus-shape readout a
+    mixture tuner reads before setting sampling rates. Deterministic
+    tiling (ties broken by doc_id) so the result is engine-independent."""
+    return stratum_decile_stats(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id", 10
     )
 
 
@@ -1027,6 +1075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "unigram_logprob": q_unigram_logprob,
         "curation_full": q_curation_full,
+        # corpus sampling / mixture stats
+        "stratified_sample": q_stratified_sample,
+        "length_deciles": q_length_deciles,
         "asof_latest_order": q_asof_latest_order,
         "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
@@ -1489,6 +1540,25 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN s.doc_id <> surv.survivor THEN 'duplicate' END)
                      AS drop_reason
             FROM scored s LEFT JOIN surv USING (component_id)
+        """,
+        "stratified_sample": (
+            "WITH k AS (SELECT doc_id, source, "
+            "substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) "
+            "AS sample_key FROM documents) "
+            "SELECT doc_id, source, sample_key FROM k WHERE sample_key < "
+            + _SQL_SAMPLE_THRESHOLD
+        ),
+        "length_deciles": """
+            WITH t AS (
+              SELECT source AS stratum, n_chars AS v,
+                     ntile(10) OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id
+                     ) AS tile
+              FROM documents
+            )
+            SELECT stratum, tile, count(*) AS n_rows,
+                   min(v) AS min_val, max(v) AS max_val
+            FROM t GROUP BY stratum, tile
         """,
         "asof_latest_order": """
             WITH r AS (

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "dup_spans",
     "unigram_logprob",
     "curation_full",
+    "stratified_sample",
+    "length_deciles",
     "pagerank",
     "bm25_search",
     "embedding_topk",
