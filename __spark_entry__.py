@@ -27,6 +27,7 @@ from spacetime_crawler4py_spark.functions.validity import udf_is_valid
 from spacetime_crawler4py_spark.operators import multimodal
 from spacetime_crawler4py_spark.operators.components import dedup_assignments
 from spacetime_crawler4py_spark.operators.dedup import (
+    cross_corpus_contamination,
     minhash_lsh_verified_pairs,
     shingles_exploded,
     simhash_pairs,
@@ -436,6 +437,23 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id", "source",
         sample_key_col(F.col("doc_id")).alias("sample_key"),
+    )
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over a deterministic train/eval split:
+    the eval side is a reproducible ~5% hash split (salt 'eval' — the
+    same stratified_hash_sample scheme, so the split itself is
+    engine-portable), and the readout is every train doc covering >=20%
+    of some eval doc's distinct 8-grams. The composition a real corpus
+    build runs before training: sampling + n-gram overlap + containment
+    gate, all scan-level or equi-join plans."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    key = sample_key_col(F.col("doc_id"), "eval")
+    eval_df = docs.where(key < F.lit("0ccc"))
+    train = docs.where(key >= F.lit("0ccc"))
+    return cross_corpus_contamination(
+        train, eval_df, "doc_id", "text", n=8, min_containment_ppm=200000
     )
 
 
@@ -1078,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus sampling / mixture stats
         "stratified_sample": q_stratified_sample,
         "length_deciles": q_length_deciles,
+        "decontamination": q_decontamination,
         "asof_latest_order": q_asof_latest_order,
         "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
@@ -1548,6 +1567,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, sample_key FROM k WHERE sample_key < "
             + _SQL_SAMPLE_THRESHOLD
         ),
+        "decontamination": f"""
+            WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tokens) >= 8 THEN list_distinct(
+                       list_transform(generate_series(1, len(tokens) - 7),
+                         i -> {" || ' ' || ".join(f"tokens[i+{j}]" for j in range(8)).replace("tokens[i+0]", "tokens[i]")}))
+                     ELSE [] END AS sh
+              FROM tok
+            ),
+            k AS (
+              SELECT doc_id,
+                     substring(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS key
+              FROM documents
+            ),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            tr AS (
+              SELECT ex.doc_id AS train_id, g FROM ex
+              JOIN k USING (doc_id) WHERE key >= '0ccc'
+            ),
+            ev AS (
+              SELECT ex.doc_id AS eval_id, g FROM ex
+              JOIN k USING (doc_id) WHERE key < '0ccc'
+            ),
+            evs AS (SELECT eval_id, count(*) AS n_ev FROM ev GROUP BY eval_id),
+            ov AS (
+              SELECT train_id, eval_id, count(*) AS common
+              FROM tr JOIN ev USING (g) GROUP BY train_id, eval_id
+            )
+            SELECT train_id, eval_id, common,
+                   CAST(floor(common * 1000000.0 / n_ev) AS BIGINT)
+                     AS containment_ppm
+            FROM ov JOIN evs USING (eval_id)
+            WHERE floor(common * 1000000.0 / n_ev) >= 200000
+        """,
         "length_deciles": """
             WITH t AS (
               SELECT source AS stratum, n_chars AS v,

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "curation_full",
     "stratified_sample",
     "length_deciles",
+    "decontamination",
     "pagerank",
     "bm25_search",
     "embedding_topk",

@@ -35,6 +35,7 @@ __all__ = [
     "minhash_lsh_verified_pairs",
     "minhash_native_bands",
     "simhash_pairs",
+    "cross_corpus_contamination",
     "cosine_sim_col",
     "embedding_near_dup_pairs",
 ]
@@ -401,6 +402,70 @@ def minhash_lsh_verified_pairs(
         .withColumn("jaccard_ppm", ppm)
         .where(F.col("jaccard_ppm") >= int(threshold * 1000000))
         .select("id", "id2", "jaccard_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# train/eval decontamination
+# ---------------------------------------------------------------------------
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_containment_ppm: int = 0,
+    max_gram_train_df: int | None = None,
+) -> DataFrame:
+    """Benchmark-decontamination readout: for every (train doc, eval doc)
+    pair sharing at least one token n-gram, the fraction of the EVAL doc's
+    distinct n-grams that appear in the train doc — the containment metric
+    decontamination pipelines gate on (an eval doc mostly covered by some
+    train doc is leaked, regardless of the train doc's length). Output
+    ``(train_id, eval_id, common, containment_ppm)`` floored to integer
+    ppm, filtered to >= min_containment_ppm.
+
+    Plan shape: both corpora explode to distinct (id, xxhash64(gram))
+    rows; one equi-join on the gram hash; per-pair count; join back to the
+    eval doc's gram count. Cost scales with shared-gram volume — the
+    decontamination analog of ngram_jaccard_pairs, asymmetric because
+    only the eval side's size matters.
+
+    max_gram_train_df is the boilerplate guard at scale: grams appearing
+    in more than that many TRAIN docs are excluded from the metric
+    entirely (the standard practice — ubiquitous n-grams carry no leakage
+    signal but quadratic join cost). Unlike the candidate-cap in
+    ngram_jaccard_pairs this changes the reported metric, so it is part
+    of the operator contract, not an optimization: containment is then
+    "fraction of the eval doc's RARE n-grams found in the train doc"."""
+    tr = shingles_exploded(train, id_col, text_col, n).select(
+        F.col("id").alias("train_id"), F.xxhash64("g").alias("gh")
+    )
+    ev = shingles_exploded(eval_df, id_col, text_col, n).select(
+        F.col("id").alias("eval_id"), F.xxhash64("g").alias("gh")
+    )
+    if max_gram_train_df is not None:
+        hot = (
+            tr.groupBy("gh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_gram_train_df)
+            .select("gh")
+        )
+        tr = tr.join(hot, "gh", "left_anti")
+        ev = ev.join(hot, "gh", "left_anti")
+    ev_sizes = ev.groupBy("eval_id").agg(F.count("*").alias("n_ev"))
+    common = (
+        tr.join(ev, "gh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("common"))
+    )
+    ppm = F.floor(F.col("common") * 1000000 / F.col("n_ev")).cast("long")
+    return (
+        common.join(ev_sizes, "eval_id")
+        .withColumn("containment_ppm", ppm)
+        .where(F.col("containment_ppm") >= min_containment_ppm)
+        .select("train_id", "eval_id", "common", "containment_ppm")
     )
 
 

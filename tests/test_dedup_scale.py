@@ -344,3 +344,40 @@ def test_sketch_scheme_guard(spark, tmp_path):
         CrawlEngine(
             spark, store, None, EngineConfig(ordering="relaxed", neardup="lsh")
         )
+
+
+def test_cross_corpus_contamination_hand_case(spark):
+    """Containment is the EVAL doc's covered fraction, floored to ppm;
+    the train-side df cap removes ubiquitous grams from the metric."""
+    from spacetime_crawler4py_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+
+    # 3-grams; eval doc 10 has tokens a b c d -> grams {abc, bcd} (n_ev=2)
+    train = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),          # shares both grams -> 1000000 ppm
+            (2, "aa bb cc zz"),          # shares "aa bb cc" -> 500000 ppm
+            (3, "zz yy xx ww"),          # shares nothing
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(10, "aa bb cc dd")], "doc_id long, text string")
+    got = {
+        (r["train_id"], r["eval_id"]): (r["common"], r["containment_ppm"])
+        for r in cross_corpus_contamination(
+            train, ev, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert got == {(1, 10): (2, 1000000), (2, 10): (1, 500000)}
+
+    # cap: "aa bb cc" appears in 2 train docs; cap=1 excludes it, leaving
+    # only "bb cc dd" (train doc 1) -> doc 1 covers 1/1 of eval's
+    # remaining grams; doc 2 drops out entirely
+    capped = {
+        (r["train_id"], r["eval_id"]): (r["common"], r["containment_ppm"])
+        for r in cross_corpus_contamination(
+            train, ev, "doc_id", "text", n=3, max_gram_train_df=1
+        ).collect()
+    }
+    assert capped == {(1, 10): (1, 1000000)}
