@@ -43,6 +43,7 @@ from spacetime_crawler4py_spark.operators.sampling import (
     sample_key_col,
     stratified_hash_sample,
     stratum_decile_stats,
+    top_k_per_stratum,
 )
 from spacetime_crawler4py_spark.operators.linkgraph import (
     derive_link_graph,
@@ -463,6 +464,16 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiling (ties broken by doc_id) so the result is engine-independent."""
     return stratum_decile_stats(
         _t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id", 10
+    )
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: the 5 longest docs of each source (ties by
+    doc_id) — the per-origin cap a corpus build applies so no domain
+    dominates the mixture."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return top_k_per_stratum(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id").asc()], 5
     )
 
 
@@ -1097,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "length_deciles": q_length_deciles,
         "decontamination": q_decontamination,
+        "source_quota": q_source_quota,
         "asof_latest_order": q_asof_latest_order,
         "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
@@ -1602,6 +1614,17 @@ def oracle_sql() -> dict[str, str]:
                      AS containment_ppm
             FROM ov JOIN evs USING (eval_id)
             WHERE floor(common * 1000000.0 / n_ev) >= 200000
+        """,
+        "source_quota": """
+            WITH r AS (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                     ) AS quota_rank
+              FROM documents
+            )
+            SELECT doc_id, source, n_chars, quota_rank
+            FROM r WHERE quota_rank <= 5
         """,
         "length_deciles": """
             WITH t AS (

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "length_deciles",
     "decontamination",
+    "source_quota",
     "pagerank",
     "bm25_search",
     "embedding_topk",

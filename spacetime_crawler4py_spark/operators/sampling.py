@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["sample_key_col", "hash_sample", "stratified_hash_sample",
-           "stratum_decile_stats"]
+           "stratum_decile_stats", "top_k_per_stratum"]
 
 # rate quantum: rates are floored to k/65536 so the keep decision is an
 # exact 4-hex-digit string comparison (portable to any SQL engine — no
@@ -78,6 +78,27 @@ def stratified_hash_sample(
             F.col(stratum_col) == value, F.lit(_threshold_hex(rate))
         ).otherwise(thr)
     return df.where(sample_key_col(F.col(id_col), salt) < thr)
+
+
+def top_k_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    order_cols: list[Column],
+    k: int,
+) -> DataFrame:
+    """Per-stratum quota: keep the top-k rows of each stratum under the
+    given (deterministic, total) ordering — the per-domain/per-source cap
+    every corpus build applies so no single origin dominates the mixture.
+    Adds a ``quota_rank`` column (1-based).
+
+    One shuffle by stratum; rank is a row_number window, so per-stratum
+    state is O(1) and the cap streams. The ordering must be total (break
+    ties with the id column) or the kept set is engine-dependent."""
+    w = Window.partitionBy(stratum_col).orderBy(*order_cols)
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("quota_rank") <= k)
+    )
 
 
 def stratum_decile_stats(

@@ -86,3 +86,22 @@ def test_decile_ties_broken_by_id(spark):
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(r["n_rows"] == 2 for r in a)
+
+
+def test_top_k_per_stratum_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4py_spark.operators.sampling import top_k_per_stratum
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 30), (3, "a", 30), (4, "a", 5), (5, "b", 1)],
+        "doc_id long, source string, n long",
+    )
+    got = {
+        r["doc_id"]: r["quota_rank"]
+        for r in top_k_per_stratum(
+            df, "source", [F.col("n").desc(), F.col("doc_id").asc()], 2
+        ).collect()
+    }
+    # source a: ties at n=30 break by doc_id -> 2 then 3; doc 1/4 cut
+    assert got == {2: 1, 3: 2, 5: 1}
