@@ -38,6 +38,7 @@ from spacetime_crawler4py_spark.operators.similarity_search import (
     int_plane_matrix,
     ivf_topk,
     lsh_bucketed_topk,
+    quantize_embeddings_int8,
 )
 from spacetime_crawler4py_spark.operators.sampling import (
     sample_key_col,
@@ -464,6 +465,15 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiling (ties broken by doc_id) so the result is engine-independent."""
     return stratum_decile_stats(
         _t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id", 10
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding store —
+    integer-exact (micro-int scheme) so the SQL twin matches bit-for-bit;
+    see operators/similarity_search.quantize_embeddings_int8."""
+    return quantize_embeddings_int8(
+        _spread(_t(spark, sf_dir, "embeddings")), "vec_id", "embedding"
     )
 
 
@@ -1109,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_deciles": q_length_deciles,
         "decontamination": q_decontamination,
         "source_quota": q_source_quota,
+        "embedding_quantize": q_embedding_quantize,
         "asof_latest_order": q_asof_latest_order,
         "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
@@ -1614,6 +1625,22 @@ def oracle_sql() -> dict[str, str]:
                      AS containment_ppm
             FROM ov JOIN evs USING (eval_id)
             WHERE floor(common * 1000000.0 / n_ev) >= 200000
+        """,
+        "embedding_quantize": """
+            WITH ex AS (
+              SELECT vec_id AS id,
+                     generate_subscripts(embedding, 1) - 1 AS dim_idx,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                          AS BIGINT) AS vm
+              FROM embeddings
+            ),
+            s AS (SELECT id, max(abs(vm)) AS scale_micro FROM ex GROUP BY id)
+            SELECT ex.id, ex.dim_idx,
+                   CASE WHEN s.scale_micro = 0 THEN 0
+                        ELSE CAST(floor(ex.vm * 127.0 / s.scale_micro)
+                                  AS BIGINT) END AS q,
+                   s.scale_micro
+            FROM ex JOIN s USING (id)
         """,
         "source_quota": """
             WITH r AS (

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "source_quota",
     "pagerank",
     "bm25_search",
+    "embedding_quantize",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh",

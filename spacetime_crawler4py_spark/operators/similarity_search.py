@@ -29,7 +29,49 @@ __all__ = [
     "build_ivf_index",
     "ivf_topk_indexed",
     "kmeans_centroids",
+    "quantize_embeddings_int8",
 ]
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the compression step a
+    100-TB embedding store applies before ANN (4x smaller than float32,
+    integer SIMD distance kernels downstream). Output one row per
+    dimension: ``(id, dim_idx, q, scale_micro)`` with
+    q = floor(v_micro * 127 / maxabs_micro) in [-127, 127] and
+    scale_micro = max(abs(floor(v * 1e6))) the per-vector dequant scale.
+
+    Exactness contract: the float payload enters integer space immediately
+    (v_micro = floor(v::double * 1e6), the same micro-int scheme
+    decode_features uses), so every downstream op is integer/floor
+    arithmetic an ANSI-SQL oracle reproduces bit-for-bit — no IEEE
+    rounding-order dependence. All-zero vectors quantize to q = 0 with
+    scale_micro = 0.
+
+    Plan shape: posexplode → per-vector max(abs) hash-agg → join back
+    (AQE picks broadcast when the id dim fits) → project. Deliberately
+    NOT an array HOF: a transform() lambda referencing the computed
+    maxabs column re-inlines the aggregate per element (the measured
+    Catalyst re-inlining trap, see dedup.shingles_exploded)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("dim_idx", "v"),
+    ).select(
+        "id",
+        "dim_idx",
+        F.floor(F.col("v").cast("double") * 1000000).cast("long").alias("vm"),
+    )
+    scales = ex.groupBy("id").agg(
+        F.max(F.abs(F.col("vm"))).alias("scale_micro")
+    )
+    q = F.when(F.col("scale_micro") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(F.col("vm") * 127.0 / F.col("scale_micro")).cast("long")
+    )
+    return ex.join(scales, "id").select(
+        "id", "dim_idx", q.alias("q"), "scale_micro"
+    )
 
 
 def blocked_pair_cos_bp(

@@ -381,3 +381,34 @@ def test_cross_corpus_contamination_hand_case(spark):
         ).collect()
     }
     assert capped == {(1, 10): (1, 1000000)}
+
+
+def test_quantize_embeddings_int8_properties(spark):
+    """q in [-127,127]; the max-|v| dim hits ±127 exactly; dequantization
+    error is bounded by one quant step; zero vectors quantize to all-0."""
+    from spacetime_crawler4py_spark.operators.similarity_search import (
+        quantize_embeddings_int8,
+    )
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.001, 0.002, -0.0005, 0.0015]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = quantize_embeddings_int8(df, "vec_id", "embedding").collect()
+    byid = {}
+    for r in out:
+        byid.setdefault(r["id"], {})[r["dim_idx"]] = (r["q"], r["scale_micro"])
+    assert all(-127 <= q <= 127 for d in byid.values() for q, _ in d.values())
+    # vec 1: maxabs dim is -1.0 -> floor(-1e6*127/1e6) = -127 exactly
+    assert byid[1][1] == (-127, 1000000)
+    assert byid[3] == {i: (0, 0) for i in range(4)}
+    # dequant error <= 1 step (scale/127) + micro-floor slack, all dims
+    for vid, vec in rows:
+        for i, v in enumerate(vec):
+            q, scale = byid[vid][i]
+            if scale == 0:
+                continue
+            step = scale / 1e6 / 127
+            assert abs(q * step - v) <= step + 2e-6, (vid, i, q, scale, v)
