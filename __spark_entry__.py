@@ -50,6 +50,12 @@ from spacetime_crawler4py_spark.operators.linkgraph import (
     derive_link_graph,
     pagerank,
 )
+from spacetime_crawler4py_spark.streaming.contract import (
+    q_streaming_dedup,
+    q_streaming_event_windows,
+    q_streaming_sessionize,
+    q_streaming_trending_words,
+)
 from spacetime_crawler4py_spark.operators.textstats import (
     LANG_MARKERS,
     bm25_scores,
@@ -1148,6 +1154,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
         "decode_features": q_decode_features,
+        # Structured Streaming contract queries (streaming/contract.py):
+        # real readStream→availableNow→sink runs whose terminal output is
+        # a closed-form function of the data (watermark emission pinned),
+        # so the streaming semantics get full rows+schema+hash checks
+        "streaming_event_windows": q_streaming_event_windows,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_trending_words": q_streaming_trending_words,
     }
 
 
@@ -2075,5 +2089,81 @@ def oracle_sql() -> dict[str, str]:
               FROM cands
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        # --- Structured Streaming contract twins -------------------------
+        # availableNow append-mode emission is closed-form: a window is
+        # emitted iff window_end <= terminal watermark (max event time in
+        # ms - delay; boundary equality emits, verified on Spark 4.1), so
+        # the oracle is the batch rollup under the same inequality.
+        "streaming_event_windows": """
+            WITH w AS (
+              SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                       AS hour_unix,
+                     event_type, count(*) AS cnt,
+                     CAST(sum(floor(value * 1000)) AS BIGINT) AS value_milli
+              FROM events GROUP BY 1, 2
+            ), m AS (SELECT max(epoch_ms(ts)) AS max_ms FROM events)
+            SELECT hour_unix, event_type, cnt, value_milli FROM w, m
+            WHERE (hour_unix + 3600) * 1000 <= m.max_ms - 7200000
+            ORDER BY hour_unix, event_type
+        """,
+        # closed sessions = every session except each user's last (the
+        # still-open one never emits within the run)
+        "streaming_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            ), s AS (
+              SELECT user_id, sec,
+                     CAST(sum(CASE WHEN gap IS NULL OR gap > 1800
+                                   THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM g
+            ), agg AS (
+              SELECT user_id, session_id,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     min(sec) AS start_unix, max(sec) AS end_unix
+              FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id, session_id, n_events, start_unix, end_unix
+            FROM (SELECT agg.*, max(session_id) OVER (PARTITION BY user_id)
+                    AS last_s FROM agg)
+            WHERE session_id < last_s
+            ORDER BY user_id, session_id
+        """,
+        # arrival 1 emits one row per distinct checksum; arrival 2 is
+        # fully suppressed (state live); arrival 3 (doc_id % 7 slice)
+        # re-admits after watermark eviction -> one extra row per key
+        "streaming_dedup": """
+            WITH d AS (SELECT doc_id, md5(text) AS checksum FROM documents)
+            SELECT checksum FROM (SELECT DISTINCT checksum FROM d)
+            UNION ALL
+            SELECT DISTINCT checksum FROM d WHERE doc_id % 7 = 0
+            ORDER BY checksum
+        """,
+        # synthetic ingest clock ts = T0 + 97s*doc_id; every token lands
+        # in exactly two slide-aligned (1800s) one-hour windows
+        "streaming_trending_words": f"""
+            WITH tok AS (
+              SELECT 1704067200 + doc_id * 97 AS e,
+                     unnest({_SQL_TOKENS}) AS word
+              FROM documents
+            ), m AS (
+              SELECT 1704067200 + max(doc_id) * 97 AS max_e FROM documents
+            ), win AS (
+              SELECT (CAST(floor(e / 1800) AS BIGINT) - ks.k) * 1800
+                       AS window_unix,
+                     word
+              FROM tok CROSS JOIN (SELECT unnest([0, 1]) AS k) AS ks
+            )
+            SELECT window_unix, word, count(*) AS cnt
+            FROM win
+            WHERE window_unix + 3600 <= (SELECT max_e FROM m) - 7200
+            GROUP BY window_unix, word
+            ORDER BY window_unix, word
         """,
     }

@@ -147,7 +147,7 @@ SESSION_STATE_SCHEMA = StructType([
 ])
 
 
-def _make_session_fn(gap_s: int):
+def _make_session_fn(gap_s: int, use_timeout: bool = True):
     def fn(
         key: Tuple,
         batches: Iterator[pd.DataFrame],
@@ -166,7 +166,8 @@ def _make_session_fn(gap_s: int):
             next_session, last_ts, open_count, open_start = state.get
             if open_count:
                 state.update((next_session + 1, None, 0, 0))
-                state.setTimeoutDuration(gap_s * 1000)
+                if use_timeout:
+                    state.setTimeoutDuration(gap_s * 1000)
                 yield pd.DataFrame(
                     [(user_id, next_session, open_count, open_start, last_ts)],
                     columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields],
@@ -201,8 +202,9 @@ def _make_session_fn(gap_s: int):
                 open_count += 1
                 last_ts = t
         state.update((next_session, last_ts, open_count, open_start))
-        # the open session flushes after gap_s of processing-time silence
-        state.setTimeoutDuration(gap_s * 1000)
+        if use_timeout:
+            # the open session flushes after gap_s of processing-time silence
+            state.setTimeoutDuration(gap_s * 1000)
         if closed:
             yield pd.DataFrame(
                 closed, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields]
@@ -212,22 +214,33 @@ def _make_session_fn(gap_s: int):
 
 
 def streaming_sessionize(
-    events: DataFrame, gap_s: int = 1800
+    events: DataFrame, gap_s: int = 1800, flush_timeout: bool = True
 ) -> DataFrame:
     """Gap-based sessionization as an explicit stateful operator
     (``applyInPandasWithState``): per-user state carries the open session
     only; a session closes when a gap > gap_s appears in event time, or
-    when the user goes silent for gap_s of processing time (state
-    timeout). Emits one row per *closed* session — the streaming
-    complement of the batch window-plan sessionize (same session
-    ordinals for closed sessions)."""
+    — with ``flush_timeout`` (the production default) — when the user
+    goes silent for gap_s of processing time (state timeout). Emits one
+    row per *closed* session — the streaming complement of the batch
+    window-plan sessionize (same session ordinals for closed sessions).
+
+    ``flush_timeout=False`` disables the inactivity flush: open sessions
+    stay in state until more events arrive. Use it for bounded replays
+    (availableNow) — with pending processing-time timeouts an
+    availableNow trigger cannot drain: Spark keeps scheduling no-data
+    batches until every registered timeout has fired (gap_s of wall
+    clock), so a drain-and-stop run would block for the full gap."""
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _make_session_fn(gap_s),
+            _make_session_fn(gap_s, use_timeout=flush_timeout),
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if flush_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

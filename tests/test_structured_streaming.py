@@ -44,7 +44,9 @@ def _run_to_memory(df, name, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"availableNow run {name!r} did not drain in 300s")
     return q
 
 
@@ -154,8 +156,16 @@ def test_stateful_sessionize_closed_sessions_match_batch(
 ):
     """applyInPandasWithState emits closed sessions; with the whole table
     in one availableNow run, that is every session except each user's
-    final (still-open) one — compare against the batch window plan."""
-    _run_to_memory(streaming_sessionize(events_stream, 1800), "sess_stream", tmp_path)
+    final (still-open) one — compare against the batch window plan.
+    flush_timeout=False so the availableNow run can drain: with pending
+    processing-time timeouts Spark schedules no-data batches until every
+    timeout has fired (gap_s of wall clock — this test used to "pass" by
+    reading the sink after awaitTermination() expired, leaving the query
+    running for the rest of the session)."""
+    _run_to_memory(
+        streaming_sessionize(events_stream, 1800, flush_timeout=False),
+        "sess_stream", tmp_path,
+    )
     got = {
         (r.user_id, r.session_id, r.n_events)
         for r in spark.sql("SELECT * FROM sess_stream").collect()
