@@ -90,6 +90,13 @@ BENCH_QUERIES = [
     "media_metadata",
     "frame_sample",
     "decode_features",
+    # Structured Streaming contract runs (file source -> availableNow ->
+    # sink): these time the streaming path itself — micro-batch planning,
+    # state store, watermark commit — not just the stateless plan
+    "streaming_event_windows",
+    "streaming_sessionize",
+    "streaming_dedup",
+    "streaming_trending_words",
 ]
 
 
