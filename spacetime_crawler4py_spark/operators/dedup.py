@@ -513,9 +513,19 @@ def simhash_pairs(
         )
         return pd.Series([signed(v) for v in sketches], dtype="object")
 
-    base = df.select(
-        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")
-    ).where(F.col("sh").isNotNull())
+    base = (
+        df.select(
+            F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")
+        )
+        .where(F.col("sh").isNotNull())
+        # the sketch pass reads + tokenizes + hashes the whole corpus — the
+        # dominant cost at scale. Without a checkpoint the blocked self-join
+        # below re-evaluates it on BOTH sides (self-joins don't get
+        # ReusedExchange; measured 2x the UDF time at sf0.1). Lazy
+        # localCheckpoint materializes the slim (id, sh) frame (16B/doc)
+        # on first use so the corpus is sketched exactly once.
+        .localCheckpoint(eager=False)
+    )
     blocks = base.select(
         "id", "sh",
         F.explode(
