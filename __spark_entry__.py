@@ -380,7 +380,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = shingles_exploded(
         _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", 3
     ).select(F.col("id").alias("doc_id"), F.xxhash64("g").alias("gh"))
-    return _ngram_pairs_from_ex(ex)
+    # scan/tokenize once across the three consumers (sizes + join sides)
+    return _ngram_pairs_from_ex(ex.localCheckpoint(eager=False))
 
 
 def _ngram_pairs_from_ex(ex: DataFrame) -> DataFrame:

@@ -142,9 +142,12 @@ def ngram_jaccard_pairs(
     construction boilerplate, not near-dup content: such a pair's true
     jaccard is bounded by (hot shingles shared) / (union), which at sane
     thresholds means the docs are mostly boilerplate anyway."""
+    # three-plus consumers of the shingle pass (sizes, both join sides,
+    # re-score) — checkpoint the slim (id, gh) stream so the corpus is
+    # scanned and tokenized exactly once (see minhash_lsh_verified_pairs)
     exploded = shingles_exploded(df, id_col, text_col, n).select(
         "id", F.xxhash64("g").alias("gh")
-    )
+    ).localCheckpoint(eager=False)
     sizes = exploded.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_doc_freq is None:
         pair_src = exploded
@@ -371,9 +374,15 @@ def minhash_lsh_verified_pairs(
     Either way the output is the exact verified pair set — the scheme only
     moves the candidate-recall s-curve, which the containment pytest gates
     for both kernels."""
+    # the shingle pass (scan + tokenize + window + hash) feeds candidate
+    # generation, per-doc sizes, AND both sides of the verification join —
+    # four consumers; without a checkpoint each re-derives it from the
+    # corpus scan (self-join subtrees get no ReusedExchange). Materialize
+    # the slim (id, gh) stream once — the same scan-once policy the
+    # curation compositions apply at the entry level.
     ex = shingles_exploded(df, id_col, text_col, n).select(
         "id", F.xxhash64("g").alias("gh")
-    )
+    ).localCheckpoint(eager=False)
     if scheme == "native":
         cand_ids = _candidates_from_blocks(
             minhash_native_bands(ex, num_perm, bands), max_bucket

@@ -412,3 +412,34 @@ def test_quantize_embeddings_int8_properties(spark):
                 continue
             step = scale / 1e6 / 127
             assert abs(q * step - v) <= step + 2e-6, (vid, i, q, scale, v)
+
+
+def test_pair_operators_scan_corpus_once(spark):
+    """The sketch/shingle pass of every pair operator is checkpointed:
+    downstream consumers (candidate generation, per-doc sizes, both
+    verification join sides) must read the materialized frame, never
+    re-derive it from the corpus scan. Without the checkpoint these
+    plans read the parquet source 8-12x with zero ReusedExchange —
+    i.e. 8-12 full re-tokenizations of the corpus at scale."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    for label, df in {
+        "simhash": simhash_pairs(docs, "doc_id", "text", max_hamming=8),
+        "minhash": minhash_lsh_verified_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ),
+        "ngram": ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3),
+    }.items():
+        plan = plan_of(df)
+        n_scans = plan.count("Scan parquet")
+        assert n_scans == 0, (
+            f"{label}: {n_scans} parquet scans — the corpus pass is being "
+            "re-derived instead of read from the checkpoint"
+        )
