@@ -50,6 +50,7 @@ from spacetime_crawler4py_spark.operators.linkgraph import (
     derive_link_graph,
     pagerank,
 )
+from spacetime_crawler4py_spark.operators.packing import pack_manifest
 from spacetime_crawler4py_spark.streaming.contract import (
     q_streaming_dedup,
     q_streaming_event_windows,
@@ -1045,6 +1046,22 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): the
+    packing manifest mapping each document's token span onto fixed
+    2048-token training sequences. Global offsets come from a two-level
+    cumulative sum (per-bucket windows + broadcast bucket offsets — no
+    global-ordering window over the corpus); bucket_width=64 forces
+    multiple buckets even at sf0.01 so the contract exercises the
+    distributed path, not the degenerate single-bucket one."""
+    docs = _docs_tokens(spark, sf_dir).select(
+        "doc_id", F.size("tokens").alias("n_tokens")
+    )
+    return pack_manifest(
+        docs, "doc_id", "n_tokens", seq_len=2048, bucket_width=64
+    ).orderBy("id", "seq_id")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact hamming-ball pairs over the md5-scheme simhash: pigeonhole
     blocking (max_hamming+1 blocks) makes the blocked join equal the
@@ -1127,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "source_quota": q_source_quota,
         "embedding_quantize": q_embedding_quantize,
+        "sequence_packing": q_sequence_packing,
         "asof_latest_order": q_asof_latest_order,
         "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
@@ -2090,6 +2108,28 @@ def oracle_sql() -> dict[str, str]:
               FROM cands
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        # concat-and-chunk packing manifest: pure integer window/lateral
+        # arithmetic, so the two-level-cumsum Spark plan must be
+        # hash-identical to the naive global-window SQL
+        "sequence_packing": f"""
+            WITH t AS (
+              SELECT doc_id, len({_SQL_TOKENS}) AS n FROM documents
+            ), c AS (
+              SELECT doc_id, n,
+                     CAST(sum(n) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+              FROM t WHERE n > 0
+            ), s AS (SELECT doc_id, n, e - n AS st, e FROM c)
+            SELECT doc_id AS id, g.seq_id,
+                   greatest(st, g.seq_id*2048) - st AS doc_off,
+                   greatest(st, g.seq_id*2048) - g.seq_id*2048 AS seq_off,
+                   least(e, (g.seq_id+1)*2048)
+                     - greatest(st, g.seq_id*2048) AS piece_len
+            FROM s, LATERAL (SELECT unnest(generate_series(
+                     CAST(floor(st/2048) AS BIGINT),
+                     CAST(floor((e-1)/2048) AS BIGINT))) AS seq_id) g
+            ORDER BY id, seq_id
         """,
         # --- Structured Streaming contract twins -------------------------
         # availableNow append-mode emission is closed-form: a window is

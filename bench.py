@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "pagerank",
     "bm25_search",
     "embedding_quantize",
+    "sequence_packing",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh",

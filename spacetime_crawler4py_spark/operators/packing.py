@@ -1,0 +1,134 @@
+"""Sequence packing — the corpus-build step that turns a deduplicated,
+curated document stream into fixed-length training examples.
+
+GPT-style "concat-and-chunk" packing: order documents deterministically,
+lay their token streams end to end, and cut the concatenation into
+sequences of exactly ``seq_len`` tokens. A document whose span crosses a
+cut contributes pieces to consecutive sequences. The output is the
+packing *manifest*: for every (document, sequence) incidence, where in
+the document the piece starts, where in the sequence it lands, and how
+long it is — everything a shard writer needs to emit token ids without
+re-deriving global offsets.
+
+Scale shape
+-----------
+The global running offset is the whole problem: a naive
+``sum(n) OVER (ORDER BY id)`` is a single-partition window — one task
+owns the entire corpus. Instead the offsets are computed in two levels,
+the same pattern the crawl frontier uses for politeness ``seq``
+assignment (streaming/epochs.py):
+
+1. deterministic fixed-width id buckets (``bucket = id // bucket_width``)
+   partition the window: per-bucket cumulative sums run in parallel,
+   each task touching only its bucket;
+2. per-bucket token totals (one row per bucket) get an exclusive
+   prefix-sum on a frame that is O(#buckets) — thousands of rows for a
+   100 TB corpus — and broadcast-join back.
+
+No stage ever materializes a global ordering; determinism comes from the
+id order itself, so the result is identical under any input
+partitioning (property-tested).
+
+Everything is integer arithmetic on token *counts* (the tokenizer is
+upstream), so the operator is hash-exact checkable against a plain SQL
+window oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pack_token_spans", "pack_manifest"]
+
+
+def pack_token_spans(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    bucket_width: int = 100_000,
+) -> DataFrame:
+    """Global token spans ``(id, n, tok_start, tok_end)`` for the
+    id-ordered concatenation of all documents: ``tok_start`` is the
+    exclusive running sum of token counts over ids below, ``tok_end =
+    tok_start + n``. Zero-token docs are dropped (they occupy no span).
+
+    Two-level cumulative sum — per-bucket windows + broadcast exclusive
+    bucket offsets — so no global-ordering window appears in the plan
+    (see module docstring). ``bucket_width`` is the id range per window
+    partition; size it so one bucket's rows fit a task comfortably."""
+    d = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(n_tokens_col).cast("long").alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .withColumn("bucket", F.floor(F.col("id") / bucket_width))
+    )
+    w = Window.partitionBy("bucket").orderBy("id")
+    d = d.withColumn("local_end", F.sum("n").over(w))
+    totals = d.groupBy("bucket").agg(F.max("local_end").alias("bucket_total"))
+    # O(#buckets) frame: the single-partition window here is deliberate
+    # and bounded — thousands of rows, not the corpus
+    wb = Window.orderBy("bucket")
+    offsets = totals.withColumn(
+        "bucket_off",
+        F.coalesce(
+            F.sum("bucket_total").over(wb) - F.col("bucket_total"), F.lit(0)
+        ),
+    ).select("bucket", "bucket_off")
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .withColumn("tok_end", F.col("bucket_off") + F.col("local_end"))
+        .withColumn("tok_start", F.col("tok_end") - F.col("n"))
+        .select("id", "n", "tok_start", "tok_end")
+    )
+
+
+def pack_manifest(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int = 2048,
+    bucket_width: int = 100_000,
+    drop_ragged_tail: bool = False,
+) -> DataFrame:
+    """The packing manifest: one row per (document, training sequence)
+    incidence.
+
+    Columns:
+      id        document id
+      seq_id    0-based training-sequence ordinal (each holds seq_len tokens)
+      doc_off   offset of the piece inside the document's token stream
+      seq_off   offset of the piece inside the sequence
+      piece_len tokens contributed (sum over a doc's rows == its n;
+                sum over a seq's rows == seq_len, except the final
+                ragged sequence)
+
+    ``drop_ragged_tail`` cuts the final partially-filled sequence (the
+    usual training choice — a short tail example would need padding).
+    """
+    spans = pack_token_spans(df, id_col, n_tokens_col, bucket_width)
+    first_seq = F.floor(F.col("tok_start") / seq_len)
+    last_seq = F.floor((F.col("tok_end") - 1) / seq_len)
+    exploded = spans.select(
+        "id", "tok_start", "tok_end",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    piece_start = F.greatest(F.col("tok_start"), F.col("seq_id") * seq_len)
+    piece_end = F.least(F.col("tok_end"), (F.col("seq_id") + 1) * seq_len)
+    out = exploded.select(
+        "id",
+        "seq_id",
+        (piece_start - F.col("tok_start")).alias("doc_off"),
+        (piece_start - F.col("seq_id") * seq_len).alias("seq_off"),
+        (piece_end - piece_start).alias("piece_len"),
+    )
+    if drop_ragged_tail:
+        n_full = spans.agg(F.max("tok_end").alias("t")).select(
+            F.floor(F.col("t") / seq_len).alias("n_full")
+        )
+        out = out.join(F.broadcast(n_full)).where(
+            F.col("seq_id") < F.col("n_full")
+        ).drop("n_full")
+    return out
