@@ -51,6 +51,7 @@ from spacetime_crawler4py_spark.operators.linkgraph import (
     pagerank,
 )
 from spacetime_crawler4py_spark.operators.packing import pack_manifest
+from spacetime_crawler4py_spark.operators.scrub import PII_PATTERNS, scrub_pii
 from spacetime_crawler4py_spark.streaming.contract import (
     q_streaming_dedup,
     q_streaming_event_windows,
@@ -1046,6 +1047,43 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/scrub.py): the corpus carries no contact
+    info, so deterministic spans are injected first (email on doc_id%3,
+    phone on %5, dotted quad on %7) — the operator must find and redact
+    exactly those. Counts + redacted length + md5 of the redacted text
+    give a full-content cross-engine check without shipping the corpus
+    through the compare."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = scrub_pii(docs.select("doc_id", injected.alias("text")), "doc_id", "text")
+    return out.select(
+        "id", "n_email", "n_phone", "n_ipv4", "scrubbed_len",
+        F.md5(F.col("scrubbed")).alias("scrub_md5"),
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (operators/packing.py): the
     packing manifest mapping each document's token span onto fixed
@@ -1145,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": q_source_quota,
         "embedding_quantize": q_embedding_quantize,
         "sequence_packing": q_sequence_packing,
+        "pii_scrub": q_pii_scrub,
         "asof_latest_order": q_asof_latest_order,
         "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
@@ -2108,6 +2147,40 @@ def oracle_sql() -> dict[str, str]:
               FROM cands
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        # same pattern strings as operators/scrub.py (conservative dialect:
+        # runs identically under Java regex, RE2, and Python re); DuckDB
+        # regexp_replace needs the explicit 'g' flag Spark applies by default
+        "pii_scrub": f"""
+            WITH d AS (
+              SELECT doc_id, text
+                || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com now'
+                   ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567'
+                   ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                   ELSE '' END AS t
+              FROM documents
+            ), s AS (
+              SELECT doc_id, t,
+                     regexp_replace(regexp_replace(regexp_replace(t,
+                       '{PII_PATTERNS[0][1]}', '<EMAIL>', 'g'),
+                       '{PII_PATTERNS[1][1]}', '<PHONE>', 'g'),
+                       '{PII_PATTERNS[2][1]}', '<IP>', 'g') AS scrubbed
+              FROM d
+            )
+            SELECT doc_id AS id,
+                   CAST(len(regexp_extract_all(t, '{PII_PATTERNS[0][1]}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t, '{PII_PATTERNS[1][1]}'))
+                     AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(t, '{PII_PATTERNS[2][1]}'))
+                     AS BIGINT) AS n_ipv4,
+                   CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+                   md5(scrubbed) AS scrub_md5
+            FROM s
         """,
         # concat-and-chunk packing manifest: pure integer window/lateral
         # arithmetic, so the two-level-cumsum Spark plan must be

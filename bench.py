@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "embedding_quantize",
     "sequence_packing",
+    "pii_scrub",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh",
