@@ -44,6 +44,7 @@ from spacetime_crawler4py_spark.operators.sampling import (
     sample_key_col,
     stratified_hash_sample,
     stratum_decile_stats,
+    temperature_resample,
     top_k_per_stratum,
 )
 from spacetime_crawler4py_spark.operators.linkgraph import (
@@ -1047,6 +1048,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling at alpha=0.5 over the source
+    strata — keep rates derived in-plan from the stratum counts
+    ((c_min/c)^0.5, 16-bit-quantized), hash-keyed keep decisions. The
+    sqrt-only exponent family makes the float path IEEE-exact, so the
+    oracle recomputes counts, thresholds, AND verdicts from scratch."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_resample(docs, "doc_id", "source", alpha=0.5).select(
+        "doc_id", "source", "keep_thr_q"
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/scrub.py): the corpus carries no contact
     info, so deterministic spans are injected first (email on doc_id%3,
@@ -1184,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "sequence_packing": q_sequence_packing,
         "pii_scrub": q_pii_scrub,
+        "temperature_mix": q_temperature_mix,
         "asof_latest_order": q_asof_latest_order,
         "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
@@ -2147,6 +2161,26 @@ def oracle_sql() -> dict[str, str]:
               FROM cands
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        # thresholds derived from counts in-engine on BOTH sides: the
+        # sqrt/divide/floor chain is IEEE-exact, so the quantized
+        # thresholds and every keep verdict match bit-for-bit
+        "temperature_mix": """
+            WITH c AS (
+              SELECT source, count(*) AS c FROM documents GROUP BY source
+            ), m AS (SELECT min(c) AS cmin FROM c),
+            r AS (
+              SELECT source,
+                     CAST(least(floor(sqrt(CAST(cmin AS DOUBLE)
+                         / CAST(c AS DOUBLE)) * 65536), 65536) AS BIGINT)
+                       AS keep_thr_q
+              FROM c, m
+            )
+            SELECT d.doc_id, d.source, r.keep_thr_q
+            FROM documents d JOIN r USING (source)
+            WHERE keep_thr_q >= 65536
+               OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+                    < printf('%04x', keep_thr_q)
         """,
         # same pattern strings as operators/scrub.py (conservative dialect:
         # runs identically under Java regex, RE2, and Python re); DuckDB

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "sequence_packing",
     "pii_scrub",
+    "temperature_mix",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh",

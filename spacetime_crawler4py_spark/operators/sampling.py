@@ -25,7 +25,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["sample_key_col", "hash_sample", "stratified_hash_sample",
-           "stratum_decile_stats", "top_k_per_stratum"]
+           "stratum_decile_stats", "top_k_per_stratum",
+           "temperature_resample"]
 
 # rate quantum: rates are floored to k/65536 so the keep decision is an
 # exact 4-hex-digit string comparison (portable to any SQL engine — no
@@ -128,4 +129,63 @@ def stratum_decile_stats(
             F.min("v").alias("min_val"),
             F.max("v").alias("max_val"),
         )
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based mixture resampling — the multilingual/source
+    rebalancing step (sampling share of stratum s ∝ count_s^alpha):
+    alpha=1 keeps the natural distribution, alpha=0 flattens every
+    stratum to the rarest one's size, 0.5 is the usual compromise.
+
+    Per-stratum keep rate r_s = (c_min / c_s)^(1-alpha), quantized to the
+    same 16-bit hash-key scheme as the fixed-rate samplers, with the
+    rates derived IN the plan from the stratum counts (one tiny agg,
+    broadcast back) — so the operator is reproducible on any layout and
+    recomputable by the SQL oracle end-to-end, counts included.
+
+    alpha is restricted to {0, 0.25, 0.5, 0.75, 1}: the exponent is then
+    a composition of IEEE-exact sqrt/multiply/divide (x^0.75 =
+    sqrt(x)·sqrt(sqrt(x))), so Spark, DuckDB, and any IEEE-754 engine
+    quantize to identical thresholds — a libm pow() would not be
+    correctly rounded and could differ in the last ulp right at a
+    quantization boundary.
+
+    Keeps all original columns plus ``keep_thr_q`` (the stratum's
+    quantized threshold, 65536 = keep everything)."""
+    expo = 1.0 - alpha
+    ratio = F.col("_cmin").cast("double") / F.col("_c").cast("double")
+    if expo == 0.0:
+        r = F.lit(1.0)
+    elif expo == 0.25:
+        r = F.sqrt(F.sqrt(ratio))
+    elif expo == 0.5:
+        r = F.sqrt(ratio)
+    elif expo == 0.75:
+        r = F.sqrt(ratio) * F.sqrt(F.sqrt(ratio))
+    elif expo == 1.0:
+        r = ratio
+    else:
+        raise ValueError(
+            f"alpha must be one of 0, 0.25, 0.5, 0.75, 1 (got {alpha}); "
+            "other exponents are not IEEE-exactly portable across engines"
+        )
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_c"))
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    dim = counts.crossJoin(F.broadcast(cmin)).select(
+        stratum_col,
+        F.least(F.floor(r * _RATE_DENOM), F.lit(_RATE_DENOM))
+        .cast("long")
+        .alias("keep_thr_q"),
+    )
+    key = sample_key_col(F.col(id_col), salt)
+    return df.join(F.broadcast(dim), stratum_col).where(
+        (F.col("keep_thr_q") >= _RATE_DENOM)
+        | (key < F.format_string("%04x", F.col("keep_thr_q")))
     )
