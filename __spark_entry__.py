@@ -53,6 +53,10 @@ from spacetime_crawler4py_spark.operators.linkgraph import (
 )
 from spacetime_crawler4py_spark.operators.packing import pack_manifest
 from spacetime_crawler4py_spark.operators.scrub import PII_PATTERNS, scrub_pii
+from spacetime_crawler4py_spark.sources.sitemaps import (
+    parse_sitemap_entries,
+    sitemap_frontier_candidates,
+)
 from spacetime_crawler4py_spark.streaming.contract import (
     q_streaming_dedup,
     q_streaming_event_windows,
@@ -1048,6 +1052,51 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sources/sitemaps.py): one urlset XML per source
+    host is synthesized in-plan from the documents table (entity-escaped
+    query strings, lastmod on doc_id%3, priority tag omitted on doc_id%4
+    → protocol default 500), parsed back by the JVM-regex extractor, and
+    deduped into frontier candidates. The oracle asserts the DIRECT
+    ground truth from the table — the parser must invert the synthesis
+    exactly, entities included."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    did = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>https://"),
+        F.col("source"),
+        F.lit("/doc/"),
+        did.cast("string"),
+        F.lit("?a=1&amp;b=2</loc>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<lastmod>2024-01-"),
+                F.lpad(((did % 28) + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("<priority>0."),
+                (did % 10).cast("string"),
+                F.lit("</priority>"),
+            )
+        ),
+        F.lit("</url>"),
+    )
+    payloads = docs.groupBy(F.col("source").alias("host")).agg(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.concat_ws("", F.sort_array(F.collect_list(entry))),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    return sitemap_frontier_candidates(
+        parse_sitemap_entries(payloads)
+    ).orderBy("host", "url")
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture resampling at alpha=0.5 over the source
     strata — keep rates derived in-plan from the stratum counts
@@ -1198,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "pii_scrub": q_pii_scrub,
         "temperature_mix": q_temperature_mix,
+        "sitemap_ingest": q_sitemap_ingest,
         "asof_latest_order": q_asof_latest_order,
         "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
@@ -2161,6 +2211,22 @@ def oracle_sql() -> dict[str, str]:
               FROM cands
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        # ground truth straight from the table: the sitemap parser must
+        # invert the in-plan XML synthesis exactly (entities decoded,
+        # absent priority -> protocol default 500)
+        "sitemap_ingest": """
+            SELECT source AS host,
+                   'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
+                     || '?a=1&b=2' AS url,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1
+                               AS VARCHAR), 2, '0')
+                   END AS lastmod,
+                   CASE WHEN doc_id % 4 = 0 THEN 500
+                        ELSE (doc_id % 10) * 100 END AS priority_milli
+            FROM documents
+            ORDER BY host, url
         """,
         # thresholds derived from counts in-engine on BOTH sides: the
         # sqrt/divide/floor chain is IEEE-exact, so the quantized

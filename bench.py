@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "pii_scrub",
     "temperature_mix",
+    "sitemap_ingest",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh",

@@ -1,0 +1,115 @@
+"""Sitemap ingestion (sources/sitemaps.py): differential against
+xml.etree on well-formed protocol documents, entity/CDATA handling,
+index expansion, candidate dedup."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from spacetime_crawler4py_spark.sources.sitemaps import (
+    expand_sitemap_index,
+    parse_sitemap_entries,
+    sitemap_frontier_candidates,
+)
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://a.example.com/page?x=1&amp;y=2</loc>
+    <lastmod>2024-01-15</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc><![CDATA[https://a.example.com/cdata&raw]]></loc></url>
+  <url>
+    <loc>
+      https://a.example.com/whitespace
+    </loc>
+    <priority>0.35</priority>
+  </url>
+</urlset>"""
+
+INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap>
+    <loc>https://b.example.com/sitemap-posts.xml</loc>
+    <lastmod>2024-02-01T10:00:00Z</lastmod>
+  </sitemap>
+  <sitemap><loc>https://b.example.com/sitemap-pages.xml</loc></sitemap>
+</sitemapindex>"""
+
+CHILD = """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://b.example.com/post/1</loc><priority>0.9</priority></url>
+  <url><loc>https://b.example.com/post/2</loc></url>
+</urlset>"""
+
+
+def _etree_urls(xml: str):
+    ns = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+    root = ET.fromstring(xml)
+    out = []
+    for u in root.iter(f"{ns}url"):
+        loc = u.find(f"{ns}loc").text.strip()
+        pr = u.find(f"{ns}priority")
+        out.append((loc, 500 if pr is None else int(float(pr.text) * 1000)))
+    return out
+
+
+def test_urlset_matches_etree(spark):
+    df = spark.createDataFrame([("a.example.com", URLSET)], "host string, xml string")
+    got = {
+        (r.loc, r.priority_milli)
+        for r in parse_sitemap_entries(df).where("kind = 'url'").collect()
+    }
+    assert got == set(_etree_urls(URLSET)) and len(got) == 3
+    # entity + CDATA decoding specifically
+    locs = {loc for loc, _ in got}
+    assert "https://a.example.com/page?x=1&y=2" in locs
+    assert "https://a.example.com/cdata&raw" in locs
+    assert "https://a.example.com/whitespace" in locs
+
+
+def test_fields_and_defaults(spark):
+    df = spark.createDataFrame([("a.example.com", URLSET)], "host string, xml string")
+    rows = {r.loc: r for r in parse_sitemap_entries(df).collect()}
+    r = rows["https://a.example.com/page?x=1&y=2"]
+    assert (r.lastmod, r.changefreq, r.priority_milli) == ("2024-01-15", "daily", 800)
+    r2 = rows["https://a.example.com/cdata&raw"]
+    assert r2.lastmod is None and r2.changefreq is None and r2.priority_milli == 500
+    assert rows["https://a.example.com/whitespace"].priority_milli == 350
+
+
+def test_index_expansion(spark):
+    idx = spark.createDataFrame([("b.example.com", INDEX)], "host string, xml string")
+    entries = parse_sitemap_entries(idx)
+    kinds = {r.kind for r in entries.collect()}
+    assert kinds == {"sitemap"}
+    children = spark.createDataFrame(
+        [("https://b.example.com/sitemap-posts.xml", CHILD)],
+        "loc string, xml string",
+    )
+    expanded = expand_sitemap_index(entries, children)
+    got = {(r.host, r.kind, r.loc, r.priority_milli) for r in expanded.collect()}
+    assert got == {
+        ("b.example.com", "url", "https://b.example.com/post/1", 900),
+        ("b.example.com", "url", "https://b.example.com/post/2", 500),
+    }
+
+
+def test_frontier_candidates_dedup(spark):
+    xml = """<urlset>
+      <url><loc>https://c.example.com/p</loc><lastmod>2024-01-01</lastmod>
+        <priority>0.2</priority></url>
+      <url><loc>https://c.example.com/p</loc><lastmod>2024-03-01</lastmod>
+        <priority>0.7</priority></url>
+      <url><loc>https://c.example.com/q</loc></url>
+    </urlset>"""
+    df = spark.createDataFrame([("c.example.com", xml)], "host string, xml string")
+    cands = {
+        (r.url, r.lastmod, r.priority_milli)
+        for r in sitemap_frontier_candidates(parse_sitemap_entries(df)).collect()
+    }
+    assert cands == {
+        ("https://c.example.com/p", "2024-03-01", 700),
+        ("https://c.example.com/q", None, 500),
+    }
