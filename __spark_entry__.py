@@ -586,6 +586,28 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build in one plan: full curation decision
+    (quality gates + near-dup clustering, q_curation_full) → temperature
+    mixture resampling of the survivors (alpha=0.5, rates derived from
+    the surviving per-source counts) → concat-and-chunk packing of the
+    resampled stream onto 2048-token training sequences. Output is the
+    packing manifest of the finished training set — the artifact a shard
+    writer consumes. Every stage is the same operator the standalone
+    contract queries check; the oracle chains the same curation CTEs
+    (shared constants) with the mix + packing SQL, so the whole pipeline
+    replays in DuckDB end to end."""
+    kept = q_curation_full(spark, sf_dir).where("keep").select("doc_id")
+    docs = _docs_tokens(spark, sf_dir)
+    ksrc = docs.join(kept, "doc_id").select(
+        "doc_id", "source", F.size("tokens").alias("n_tokens")
+    )
+    mixed = temperature_resample(ksrc, "doc_id", "source", alpha=0.5)
+    return pack_manifest(
+        mixed, "doc_id", "n_tokens", seq_len=2048, bucket_width=64
+    ).orderBy("id", "seq_id")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the deterministically derived link
     graph (doc i -> (i*31+k) % N for k in 1..3) — the crawl-prioritization
@@ -1248,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "temperature_mix": q_temperature_mix,
         "sitemap_ingest": q_sitemap_ingest,
+        "corpus_build": q_corpus_build,
         "asof_latest_order": q_asof_latest_order,
         "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
@@ -1286,6 +1309,130 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_trending_words": q_streaming_trending_words,
     }
 
+
+
+# The full curation decision as reusable oracle-SQL parts: the CTE
+# chain (tokens -> shingles -> jaccard pairs -> recursive components ->
+# gates) and its final per-doc keep/drop SELECT. curation_full uses them
+# directly; corpus_build extends the same chain with mixture resampling
+# and sequence packing so the END-TO-END corpus build replays in SQL.
+_SQL_CURATION_CTES = f"""tok AS (
+              SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(tokens) >= 3 THEN list_distinct(
+                       list_transform(generate_series(1, len(tokens) - 2),
+                         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                     ELSE [] END AS sh
+              FROM tok
+            ),
+            sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            ov AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+              FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            jpairs AS (
+              SELECT ov.a, ov.b FROM ov
+              JOIN sizes s1 ON s1.doc_id = ov.a
+              JOIN sizes s2 ON s2.doc_id = ov.b
+              WHERE floor(ov.common * 1000000.0
+                          / (s1.n_sh + s2.n_sh - ov.common)) >= 300000
+            ),
+            edges AS (SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs),
+            reach(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            ),
+            comp AS (
+              SELECT src, least(src, min(dst)) AS cid FROM reach GROUP BY src
+            ),
+            assign AS (
+              SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS component_id
+              FROM documents d LEFT JOIN comp c ON c.src = d.doc_id
+            ),
+            bg AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(tokens) - 1),
+                i -> tokens[i] || ' ' || tokens[i+1]
+              )) AS g FROM tok WHERE len(tokens) >= 2
+            ),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+            bstat AS (
+              SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+              FROM bc GROUP BY doc_id
+            ),
+            t3 AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(tokens) - 2),
+                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+              )) AS g FROM tok WHERE len(tokens) >= 3
+            ),
+            tstat AS (
+              SELECT doc_id, count(*) AS n_tg, count(DISTINCT g) AS d_tg
+              FROM t3 GROUP BY doc_id
+            ),
+            g8 AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(tokens) - 7),
+                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                  || ' ' || tokens[i+3] || ' ' || tokens[i+4] || ' '
+                  || tokens[i+5] || ' ' || tokens[i+6] || ' ' || tokens[i+7]
+              )) AS g FROM tok WHERE len(tokens) >= 8
+            ),
+            g8d AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g8 GROUP BY g),
+            dup AS (
+              SELECT doc_id,
+                     CAST(floor(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                          AS DOUBLE) * 1000000 / count(*)) AS BIGINT) AS dup_ppm
+              FROM g8 JOIN g8d USING (g) GROUP BY doc_id
+            ),
+            uw AS (SELECT doc_id, unnest(tokens) AS w FROM tok),
+            utot AS (SELECT count(*) AS t FROM uw),
+            uc AS (SELECT w, count(*) AS c FROM uw GROUP BY w),
+            lp AS (
+              SELECT doc_id,
+                     CAST(floor(sum(ln(CAST(utot.t AS DOUBLE) / uc.c)) * 1000
+                          / count(*)) AS BIGINT) AS nll_milli
+              FROM uw JOIN uc USING (w), utot GROUP BY doc_id
+            ),
+            scored AS (
+              SELECT a.doc_id, a.component_id,
+                CASE
+                  WHEN len(t.tokens) < 20 THEN 'short'
+                  WHEN (
+                    COALESCE(CAST(floor(bs.top_c * 1000000.0 / bs.n_bg)
+                      AS BIGINT), 0) > 180000
+                    OR COALESCE(CAST(floor((ts.n_tg - ts.d_tg) * 1000000.0
+                      / ts.n_tg) AS BIGINT), 0) > 300000
+                  ) THEN 'repetitive'
+                  WHEN COALESCE(dup.dup_ppm, 0) >= {_DUP_SPAN_PPM_MAX}
+                    THEN 'dup_span'
+                  WHEN COALESCE(lp.nll_milli, 0) < {_NLL_MILLI_MIN}
+                    OR COALESCE(lp.nll_milli, 0) > {_NLL_MILLI_MAX}
+                    THEN 'perplexity'
+                END AS drop_reason
+              FROM assign a
+              JOIN tok t USING (doc_id)
+              LEFT JOIN bstat bs USING (doc_id)
+              LEFT JOIN tstat ts USING (doc_id)
+              LEFT JOIN dup USING (doc_id)
+              LEFT JOIN lp USING (doc_id)
+            ),
+            surv AS (
+              SELECT component_id, min(doc_id) AS survivor
+              FROM scored WHERE drop_reason IS NULL GROUP BY component_id
+            )"""
+
+_SQL_CURATION_FINAL = """SELECT s.doc_id, s.component_id,
+                   (s.drop_reason IS NULL AND s.doc_id = surv.survivor) AS keep,
+                   COALESCE(s.drop_reason,
+                     CASE WHEN s.doc_id <> surv.survivor THEN 'duplicate' END)
+                     AS drop_reason
+            FROM scored s LEFT JOIN surv USING (component_id)"""
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1602,122 +1749,8 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "curation_full": f"""
-            WITH RECURSIVE tok AS (
-              SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
-            ),
-            sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(tokens) >= 3 THEN list_distinct(
-                       list_transform(generate_series(1, len(tokens) - 2),
-                         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
-                     ELSE [] END AS sh
-              FROM tok
-            ),
-            sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
-            ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-            ov AS (
-              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
-              FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id
-            ),
-            jpairs AS (
-              SELECT ov.a, ov.b FROM ov
-              JOIN sizes s1 ON s1.doc_id = ov.a
-              JOIN sizes s2 ON s2.doc_id = ov.b
-              WHERE floor(ov.common * 1000000.0
-                          / (s1.n_sh + s2.n_sh - ov.common)) >= 300000
-            ),
-            edges AS (SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs),
-            reach(src, dst) AS (
-              SELECT a, b FROM edges
-              UNION
-              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
-            ),
-            comp AS (
-              SELECT src, least(src, min(dst)) AS cid FROM reach GROUP BY src
-            ),
-            assign AS (
-              SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS component_id
-              FROM documents d LEFT JOIN comp c ON c.src = d.doc_id
-            ),
-            bg AS (
-              SELECT doc_id, unnest(list_transform(
-                generate_series(1, len(tokens) - 1),
-                i -> tokens[i] || ' ' || tokens[i+1]
-              )) AS g FROM tok WHERE len(tokens) >= 2
-            ),
-            bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
-            bstat AS (
-              SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
-              FROM bc GROUP BY doc_id
-            ),
-            t3 AS (
-              SELECT doc_id, unnest(list_transform(
-                generate_series(1, len(tokens) - 2),
-                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
-              )) AS g FROM tok WHERE len(tokens) >= 3
-            ),
-            tstat AS (
-              SELECT doc_id, count(*) AS n_tg, count(DISTINCT g) AS d_tg
-              FROM t3 GROUP BY doc_id
-            ),
-            g8 AS (
-              SELECT doc_id, unnest(list_transform(
-                generate_series(1, len(tokens) - 7),
-                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
-                  || ' ' || tokens[i+3] || ' ' || tokens[i+4] || ' '
-                  || tokens[i+5] || ' ' || tokens[i+6] || ' ' || tokens[i+7]
-              )) AS g FROM tok WHERE len(tokens) >= 8
-            ),
-            g8d AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g8 GROUP BY g),
-            dup AS (
-              SELECT doc_id,
-                     CAST(floor(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
-                          AS DOUBLE) * 1000000 / count(*)) AS BIGINT) AS dup_ppm
-              FROM g8 JOIN g8d USING (g) GROUP BY doc_id
-            ),
-            uw AS (SELECT doc_id, unnest(tokens) AS w FROM tok),
-            utot AS (SELECT count(*) AS t FROM uw),
-            uc AS (SELECT w, count(*) AS c FROM uw GROUP BY w),
-            lp AS (
-              SELECT doc_id,
-                     CAST(floor(sum(ln(CAST(utot.t AS DOUBLE) / uc.c)) * 1000
-                          / count(*)) AS BIGINT) AS nll_milli
-              FROM uw JOIN uc USING (w), utot GROUP BY doc_id
-            ),
-            scored AS (
-              SELECT a.doc_id, a.component_id,
-                CASE
-                  WHEN len(t.tokens) < 20 THEN 'short'
-                  WHEN (
-                    COALESCE(CAST(floor(bs.top_c * 1000000.0 / bs.n_bg)
-                      AS BIGINT), 0) > 180000
-                    OR COALESCE(CAST(floor((ts.n_tg - ts.d_tg) * 1000000.0
-                      / ts.n_tg) AS BIGINT), 0) > 300000
-                  ) THEN 'repetitive'
-                  WHEN COALESCE(dup.dup_ppm, 0) >= {_DUP_SPAN_PPM_MAX}
-                    THEN 'dup_span'
-                  WHEN COALESCE(lp.nll_milli, 0) < {_NLL_MILLI_MIN}
-                    OR COALESCE(lp.nll_milli, 0) > {_NLL_MILLI_MAX}
-                    THEN 'perplexity'
-                END AS drop_reason
-              FROM assign a
-              JOIN tok t USING (doc_id)
-              LEFT JOIN bstat bs USING (doc_id)
-              LEFT JOIN tstat ts USING (doc_id)
-              LEFT JOIN dup USING (doc_id)
-              LEFT JOIN lp USING (doc_id)
-            ),
-            surv AS (
-              SELECT component_id, min(doc_id) AS survivor
-              FROM scored WHERE drop_reason IS NULL GROUP BY component_id
-            )
-            SELECT s.doc_id, s.component_id,
-                   (s.drop_reason IS NULL AND s.doc_id = surv.survivor) AS keep,
-                   COALESCE(s.drop_reason,
-                     CASE WHEN s.doc_id <> surv.survivor THEN 'duplicate' END)
-                     AS drop_reason
-            FROM scored s LEFT JOIN surv USING (component_id)
+            WITH RECURSIVE {_SQL_CURATION_CTES}
+            {_SQL_CURATION_FINAL}
         """,
         "stratified_sample": (
             "WITH k AS (SELECT doc_id, source, "
@@ -2211,6 +2244,52 @@ def oracle_sql() -> dict[str, str]:
               FROM cands
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        # the entire corpus build replayed in SQL: curation CTEs (shared
+        # with curation_full) -> survivors -> count-derived temperature
+        # thresholds -> hash-keyed mix -> global-window packing manifest
+        "corpus_build": f"""
+            WITH RECURSIVE {_SQL_CURATION_CTES},
+            cur AS ({_SQL_CURATION_FINAL}),
+            kept AS (SELECT doc_id FROM cur WHERE keep),
+            ksrc AS (
+              SELECT d.doc_id, d.source FROM documents d JOIN kept USING (doc_id)
+            ),
+            cnt AS (SELECT source, count(*) AS c FROM ksrc GROUP BY source),
+            mn AS (SELECT min(c) AS cmin FROM cnt),
+            thr AS (
+              SELECT source,
+                     CAST(least(floor(sqrt(CAST(cmin AS DOUBLE)
+                         / CAST(c AS DOUBLE)) * 65536), 65536) AS BIGINT)
+                       AS thr_q
+              FROM cnt, mn
+            ),
+            mix AS (
+              SELECT k.doc_id FROM ksrc k JOIN thr USING (source)
+              WHERE thr_q >= 65536
+                 OR substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)), 1, 4)
+                      < printf('%04x', thr_q)
+            ),
+            pt AS (
+              SELECT doc_id, len(tokens) AS n
+              FROM tok JOIN mix USING (doc_id) WHERE len(tokens) > 0
+            ),
+            pc AS (
+              SELECT doc_id, n,
+                     CAST(sum(n) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+              FROM pt
+            ),
+            ps AS (SELECT doc_id, n, e - n AS st, e FROM pc)
+            SELECT doc_id AS id, g.seq_id,
+                   greatest(st, g.seq_id*2048) - st AS doc_off,
+                   greatest(st, g.seq_id*2048) - g.seq_id*2048 AS seq_off,
+                   least(e, (g.seq_id+1)*2048)
+                     - greatest(st, g.seq_id*2048) AS piece_len
+            FROM ps, LATERAL (SELECT unnest(generate_series(
+                     CAST(floor(st/2048) AS BIGINT),
+                     CAST(floor((e-1)/2048) AS BIGINT))) AS seq_id) g
+            ORDER BY id, seq_id
         """,
         # ground truth straight from the table: the sitemap parser must
         # invert the in-plan XML synthesis exactly (entities decoded,

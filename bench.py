@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "temperature_mix",
     "sitemap_ingest",
+    "corpus_build",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh",
