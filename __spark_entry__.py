@@ -599,9 +599,13 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays in DuckDB end to end."""
     kept = q_curation_full(spark, sf_dir).where("keep").select("doc_id")
     docs = _docs_tokens(spark, sf_dir)
+    # checkpoint the slim survivor frame: temperature_resample consumes it
+    # twice (stratum counts + the keep join) and pack_manifest twice more
+    # (spans + bucket totals) — without this the whole curation subtree
+    # re-runs at every consumer
     ksrc = docs.join(kept, "doc_id").select(
         "doc_id", "source", F.size("tokens").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     mixed = temperature_resample(ksrc, "doc_id", "source", alpha=0.5)
     return pack_manifest(
         mixed, "doc_id", "n_tokens", seq_len=2048, bucket_width=64
