@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "parse_robots_txt",
+    "parse_sitemap_directives",
+    "sitemap_urls_from_robots",
     "build_robots_rules",
     "robots_allows",
     "rule_pattern_regex",
@@ -217,3 +219,52 @@ def build_robots_rules(
         stage, schema="host string, rules array<string>"
     )
     return {r.host: list(r.rules) for r in parsed.collect()}
+
+
+def parse_sitemap_directives(content: str) -> list[str]:
+    """``Sitemap:`` lines from a robots.txt payload — per RFC 9309 §2.3
+    (and the sitemaps.org extension that defined them) these are
+    group-independent: they apply regardless of user-agent and may appear
+    anywhere in the file. Absolute URLs, file order preserved, duplicates
+    dropped. This is the discovery hook feeding sources/sitemaps.py:
+    robots fetch → sitemap URLs → urlset/index ingestion → frontier
+    candidates."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        val = val.strip()
+        if val and val not in seen:
+            seen.add(val)
+            out.append(val)
+    return out
+
+
+# JVM twin of parse_sitemap_directives: one multiline regex pass, no
+# Python workers ('(?im)' = case-insensitive + per-line anchors; value =
+# the run of non-space/non-# chars after the colon)
+_SITEMAP_LINE_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\s]+)"
+
+
+def sitemap_urls_from_robots(
+    robots_pages: DataFrame, host_col: str = "host", content_col: str = "content"
+) -> DataFrame:
+    """(host, sitemap_url) rows from fetched robots.txt payloads —
+    scan-level regexp extraction, deduped per host."""
+    from pyspark.sql import functions as F
+
+    return robots_pages.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.col(content_col), F.lit(_SITEMAP_LINE_RE), F.lit(1)
+                )
+            )
+        ).alias("sitemap_url"),
+    )

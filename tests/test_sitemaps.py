@@ -113,3 +113,54 @@ def test_frontier_candidates_dedup(spark):
         ("https://c.example.com/p", "2024-03-01", 700),
         ("https://c.example.com/q", None, 500),
     }
+
+
+ROBOTS = """# corp robots
+User-agent: *
+Disallow: /private/
+Sitemap: https://d.example.com/sitemap.xml
+
+User-agent: crawler
+Allow: /
+SITEMAP: https://d.example.com/sitemap-news.xml   # inline comment
+sitemap: https://d.example.com/sitemap.xml
+Sitemap:
+"""
+
+
+def test_sitemap_directives_match_robotparser():
+    import urllib.robotparser
+
+    from spacetime_crawler4py_spark.functions.robots import (
+        parse_sitemap_directives,
+    )
+
+    got = parse_sitemap_directives(ROBOTS)
+    assert got == [
+        "https://d.example.com/sitemap.xml",
+        "https://d.example.com/sitemap-news.xml",
+    ]
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(ROBOTS.splitlines())
+    # robotparser keeps duplicates AND the empty value of a bare
+    # "Sitemap:" line; ours dedups and drops empties — compare the
+    # non-empty sets
+    assert set(got) == {u for u in rp.site_maps() if u}
+
+
+def test_sitemap_urls_from_robots_df(spark):
+    from spacetime_crawler4py_spark.functions.robots import (
+        sitemap_urls_from_robots,
+    )
+
+    df = spark.createDataFrame(
+        [("d.example.com", ROBOTS), ("e.example.com", "User-agent: *\n")],
+        "host string, content string",
+    )
+    got = {
+        (r.host, r.sitemap_url) for r in sitemap_urls_from_robots(df).collect()
+    }
+    assert got == {
+        ("d.example.com", "https://d.example.com/sitemap.xml"),
+        ("d.example.com", "https://d.example.com/sitemap-news.xml"),
+    }
