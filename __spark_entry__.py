@@ -67,6 +67,7 @@ from spacetime_crawler4py_spark.operators.textstats import (
     LANG_MARKERS,
     bm25_scores,
     dup_span_stats,
+    remove_dup_spans,
     repetition_scores,
     report_tokens_col,
     tokens_exploded,
@@ -584,6 +585,16 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_reason"),
         )
     )
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup as a rewrite (textstats.remove_dup_spans):
+    tokens covered by cross-document duplicated 8-gram windows are
+    dropped and the surviving stream is fingerprinted — kept_md5 makes
+    the hash row certify the full rewritten content of every doc."""
+    return remove_dup_spans(
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", n=8
+    ).orderBy("doc_id")
 
 
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1275,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "sitemap_ingest": q_sitemap_ingest,
         "corpus_build": q_corpus_build,
+        "dup_span_removal": q_dup_span_removal,
         "asof_latest_order": q_asof_latest_order,
         "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
@@ -2248,6 +2260,54 @@ def oracle_sql() -> dict[str, str]:
               FROM cands
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        # full-content check of the rewrite: kept_md5 hashes the surviving
+        # token stream per doc; DuckDB replays windows/coverage/anti-join
+        "dup_span_removal": f"""
+            WITH tok AS (
+              SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+            ),
+            ap AS (
+              SELECT doc_id, s.i - 1 AS pos, tokens[s.i] AS w
+              FROM tok, LATERAL (SELECT unnest(generate_series(1,
+                     len(tokens))) AS i) s
+              WHERE len(tokens) > 0
+            ),
+            g8 AS (
+              SELECT doc_id, s.i - 1 AS pos,
+                     tokens[s.i]   || ' ' || tokens[s.i+1] || ' ' ||
+                     tokens[s.i+2] || ' ' || tokens[s.i+3] || ' ' ||
+                     tokens[s.i+4] || ' ' || tokens[s.i+5] || ' ' ||
+                     tokens[s.i+6] || ' ' || tokens[s.i+7] AS g
+              FROM tok, LATERAL (SELECT unnest(generate_series(1,
+                     len(tokens) - 7)) AS i) s
+              WHERE len(tokens) >= 8
+            ),
+            dupg AS (
+              SELECT g FROM (SELECT DISTINCT doc_id, g FROM g8)
+              GROUP BY g HAVING count(*) >= 2
+            ),
+            cov AS (
+              SELECT DISTINCT g8.doc_id, g8.pos + k.k AS pos
+              FROM g8 JOIN dupg USING (g),
+                   LATERAL (SELECT unnest(generate_series(0, 7)) AS k) k
+            ),
+            kept AS (SELECT ap.* FROM ap ANTI JOIN cov USING (doc_id, pos)),
+            ka AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     md5(string_agg(w, ' ' ORDER BY pos)) AS kmd5
+              FROM kept GROUP BY doc_id
+            ),
+            st AS (
+              SELECT doc_id, len(tokens) AS n_tokens FROM tok
+              WHERE len(tokens) > 0
+            )
+            SELECT st.doc_id, CAST(st.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(st.n_tokens - COALESCE(ka.n_kept, 0) AS BIGINT)
+                     AS n_removed,
+                   COALESCE(ka.kmd5, md5('')) AS kept_md5
+            FROM st LEFT JOIN ka USING (doc_id)
+            ORDER BY st.doc_id
         """,
         # the entire corpus build replayed in SQL: curation CTEs (shared
         # with curation_full) -> survivors -> count-derived temperature

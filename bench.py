@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "repetition_scores",
     "curation_pipeline",
     "dup_spans",
+    "dup_span_removal",
     "unigram_logprob",
     "curation_full",
     "stratified_sample",

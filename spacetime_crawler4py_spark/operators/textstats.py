@@ -10,6 +10,8 @@ __spark_entry__.oracle_sql (the DuckDB correctness oracle).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -26,6 +28,7 @@ __all__ = [
     "repetition_scores",
     "bm25_scores",
     "dup_span_stats",
+    "remove_dup_spans",
     "unigram_logprob",
     "LANG_MARKERS",
 ]
@@ -327,6 +330,90 @@ def dup_span_stats(
         F.floor(F.col("n_dup") * 1_000_000 / F.col("n_windows"))
         .cast("long")
         .alias("dup_ppm"),
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Exact substring dedup as a REWRITE (the removal step of Lee et al.
+    2022, where ``dup_span_stats`` is only the readout): drop every token
+    covered by a duplicated n-gram window — a window whose gram occurs in
+    >= 2 distinct documents — and re-emit the surviving token stream.
+
+    Output ``(doc_id, n_tokens, n_removed, kept_md5)`` for every doc with
+    at least one token: kept_md5 fingerprints the surviving tokens joined
+    by ' ' (the tokenized representation; detokenization is a
+    presentation concern), so a cross-engine compare certifies the full
+    rewritten content without shipping it.
+
+    Plan shape: the shared token stream feeds three consumers (grams,
+    position universe, stats) — checkpointed, scan-once; the duplicated
+    grams dim is a hash-agg; coverage = occurrence positions exploded to
+    the n-window span, distinct, anti-joined against the token stream.
+    Per-doc reassembly is a sort inside a hash-agg (array_sort over the
+    collected (pos, w) structs — per-doc state, no global sort)."""
+    tok = (
+        tokens if tokens is not None else tokens_exploded(df, id_col, text_col)
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("g"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .select("doc_id", "pos", "g")
+    )
+    dupg = (
+        grams.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("g")
+    )
+    covered = (
+        grams.join(dupg, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    stats = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("_n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return stats.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        # md5('') for fully-removed docs keeps the column non-null
+        F.coalesce("kept_md5", F.lit(hashlib.md5(b"").hexdigest())).alias(
+            "kept_md5"
+        ),
     )
 
 

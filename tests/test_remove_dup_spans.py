@@ -1,0 +1,77 @@
+"""remove_dup_spans (exact substring dedup rewrite): python-oracle
+differential on synthetic docs with engineered shared runs, consistency
+with dup_span_stats, fully-removed and untouched docs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from spacetime_crawler4py_spark.functions.tokenize import report_tokens
+from spacetime_crawler4py_spark.operators.textstats import (
+    dup_span_stats,
+    remove_dup_spans,
+)
+
+SHARED = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+
+DOCS = [
+    (0, f"unique zero prefix {SHARED} unique zero suffix tail words here"),
+    (1, f"other document opening {SHARED} closing remarks entirely different"),
+    (2, "totally original content with no overlap anywhere at all ok"),
+    (3, SHARED),  # fully covered -> everything removed
+    (4, "short doc"),  # < n tokens: no windows, nothing removed
+]
+
+
+def _py_expected(n=8):
+    toks = {d: report_tokens(t) for d, t in DOCS}
+    grams = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            grams.setdefault(" ".join(ts[i : i + n]), set()).add(d)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    out = {}
+    for d, ts in toks.items():
+        covered = set()
+        for i in range(len(ts) - n + 1):
+            if " ".join(ts[i : i + n]) in dup:
+                covered.update(range(i, i + n))
+        kept = [w for i, w in enumerate(ts) if i not in covered]
+        out[d] = (
+            len(ts),
+            len(ts) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_matches_python_oracle(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.kept_md5)
+        for r in remove_dup_spans(df, "doc_id", "text").collect()
+    }
+    assert got == _py_expected()
+    # the engineered facts, spelled out:
+    # docs 0 and 1 share a 10-token run -> 10 tokens removed from each
+    assert got[0][1] == 10 and got[1][1] == 10
+    # doc 2 untouched, doc 3 fully removed, doc 4 too short to window
+    assert got[2][1] == 0
+    assert got[3][1] == got[3][0]
+    assert got[3][2] == hashlib.md5(b"").hexdigest()
+    assert got[4][1] == 0
+
+
+def test_consistent_with_dup_span_stats(spark):
+    """A doc has removals iff its dup_ppm readout is nonzero (both sides
+    define 'duplicated' as distinct-doc frequency >= 2 on n-gram windows)."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    removed = {
+        r.doc_id: r.n_removed
+        for r in remove_dup_spans(df, "doc_id", "text").collect()
+    }
+    ppm = {
+        r.doc_id: r.dup_ppm for r in dup_span_stats(df, "doc_id", "text").collect()
+    }
+    for d, p in ppm.items():
+        assert (removed[d] > 0) == (p > 0), (d, removed[d], p)
