@@ -52,6 +52,7 @@ from spacetime_crawler4py_spark.operators.linkgraph import (
     pagerank,
 )
 from spacetime_crawler4py_spark.operators.packing import pack_manifest
+from spacetime_crawler4py_spark.operators.recrawl import recrawl_candidates
 from spacetime_crawler4py_spark.operators.scrub import PII_PATTERNS, scrub_pii
 from spacetime_crawler4py_spark.sources.sitemaps import (
     parse_sitemap_entries,
@@ -585,6 +586,31 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_reason"),
         )
     )
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling (operators/recrawl.py),
+    chained off the sitemap ingestion query's candidates: completions
+    are synthesized for the even doc_ids at fetch times straddling the
+    lastmod days, so the changed/fresh split and every age bonus are
+    data-derived. The oracle recomputes the schedule straight from the
+    documents table."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cands = q_sitemap_ingest(spark, sf_dir).drop("host")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    completions = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?a=1&b=2"),
+        ).alias("url"),
+        (F.lit(1704067200) + F.col("doc_id") * 1000).alias("fetched_unix"),
+    )
+    return recrawl_candidates(
+        cands, completions, now_unix=1709251200
+    ).orderBy("url")
 
 
 def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": q_sitemap_ingest,
         "corpus_build": q_corpus_build,
         "dup_span_removal": q_dup_span_removal,
+        "recrawl_schedule": q_recrawl_schedule,
         "asof_latest_order": q_asof_latest_order,
         "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
@@ -2260,6 +2287,40 @@ def oracle_sql() -> dict[str, str]:
               FROM cands
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        # the schedule recomputed straight from the table: day-precision
+        # lastmod vs synthetic fetch seconds, integer age bonuses
+        "recrawl_schedule": """
+            WITH c AS (
+              SELECT 'https://' || source || '/doc/'
+                       || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url,
+                     CASE WHEN doc_id % 3 = 0 THEN '2024-01-'
+                       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                     END AS lastmod,
+                     CASE WHEN doc_id % 4 = 0 THEN 500
+                          ELSE (doc_id % 10) * 100 END AS pm,
+                     doc_id
+              FROM documents
+            ), j AS (
+              SELECT url, lastmod, pm,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 1704067200 + doc_id * 1000 END AS fetched
+              FROM c
+            )
+            SELECT url,
+                   CASE WHEN fetched IS NULL THEN 'new'
+                        ELSE 'changed' END AS reason,
+                   pm AS priority_milli,
+                   CAST(CASE WHEN fetched IS NULL THEN pm + 300
+                        ELSE pm + 10 * least(greatest(
+                          CAST(floor((1709251200 - fetched) / 86400)
+                            AS BIGINT), 0), 30)
+                   END AS BIGINT) AS score
+            FROM j
+            WHERE fetched IS NULL
+               OR (lastmod IS NOT NULL
+                   AND epoch(CAST(lastmod AS DATE)) > fetched)
+            ORDER BY url
         """,
         # full-content check of the rewrite: kept_md5 hashes the surviving
         # token stream per doc; DuckDB replays windows/coverage/anti-join

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "temperature_mix",
     "sitemap_ingest",
+    "recrawl_schedule",
     "corpus_build",
     "embedding_topk",
     "embedding_near_dups",

@@ -1,0 +1,58 @@
+"""recrawl_candidates: classification, scoring, and exclusion rules."""
+
+from __future__ import annotations
+
+
+from spacetime_crawler4py_spark.operators.recrawl import recrawl_candidates
+
+DAY = 86400
+T0 = 1_704_067_200  # 2024-01-01T00:00:00Z
+
+
+def test_classification_and_scores(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cands = spark.createDataFrame(
+        [
+            ("u/new", "2024-01-10", 800),          # never fetched
+            ("u/changed", "2024-01-20", 300),      # lastmod after fetch
+            ("u/fresh", "2024-01-05", 900),        # fetched after lastmod
+            ("u/nolastmod", None, 400),            # fetched, no lastmod
+            ("u/ancient", "2024-02-01", 100),      # changed, age > cap
+        ],
+        "url string, lastmod string, priority_milli long",
+    )
+    completions = spark.createDataFrame(
+        [
+            ("u/changed", T0 + 10 * DAY),   # fetched Jan 11, lastmod Jan 20
+            ("u/fresh", T0 + 9 * DAY),      # fetched Jan 10, lastmod Jan 5
+            ("u/nolastmod", T0 + 3 * DAY),
+            ("u/ancient", T0),              # fetched Jan 1, lastmod Feb 1
+        ],
+        "url string, fetched_unix long",
+    )
+    now = T0 + 25 * DAY  # Jan 26
+    got = {
+        r.url: (r.reason, r.score)
+        for r in recrawl_candidates(cands, completions, now).collect()
+    }
+    # new: priority + full cap bonus (30d * 10)
+    assert got["u/new"] == ("new", 800 + 300)
+    # changed: priority + age bonus (25-10=15 days -> 150)
+    assert got["u/changed"] == ("changed", 300 + 150)
+    # ancient: age 25 days < cap -> 250
+    assert got["u/ancient"] == ("changed", 100 + 250)
+    # fresh + no-lastmod rows are excluded entirely
+    assert set(got) == {"u/new", "u/changed", "u/ancient"}
+
+
+def test_age_bonus_caps(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cands = spark.createDataFrame(
+        [("u/x", "2024-06-01", 0)], "url string, lastmod string, priority_milli long"
+    )
+    completions = spark.createDataFrame(
+        [("u/x", T0)], "url string, fetched_unix long"
+    )
+    now = T0 + 400 * DAY  # far beyond the 30-day cap
+    (row,) = recrawl_candidates(cands, completions, now).collect()
+    assert row.reason == "changed" and row.score == 300
