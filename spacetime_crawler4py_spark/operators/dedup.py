@@ -496,8 +496,68 @@ def _hamming_blocks(max_hamming: int, n_bits: int = 64) -> list[tuple[int, int]]
     return out
 
 
+def simhash_native_sketch(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The md5-scheme 64-bit simhash computed ENTIRELY JVM-side — bit-
+    identical to fingerprint.simhash64_md5 (differential-tested), zero
+    Python workers.
+
+    Construction (the same one the ANSI-SQL oracle replays): per distinct
+    (doc, token), h = first 16 hex chars of md5(token) read as a 64-bit
+    big-endian value via two 32-bit conv() halves; bit j of the sketch is
+    the occurrence-weighted majority of bit j over the doc's tokens
+    (2·ones > n). The majority vote is one hash-aggregate with 64
+    map-side-combinable weighted sums — no per-bit explode, no 64×
+    row blowup — and the final packing is a 64-term shiftleft/OR chain
+    (bit 63 wraps into the sign, matching the Python kernel's signed
+    view). Tokenless docs carry no rows, hence no sketch."""
+    from ..operators.textstats import tokens_exploded
+
+    tok = tokens_exploded(df, id_col, text_col).select(
+        F.col("doc_id").alias("id"), "w"
+    )
+    h = F.md5(F.col("w"))
+    th = tok.select(
+        "id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("_lo"),
+    )
+    # aggregate OCCURRENCES directly: map-side partial aggregation
+    # collapses each partition to per-doc rows before any exchange, so
+    # no token-level shuffle happens (a distinct-(doc,word) pre-group
+    # costs a full token shuffle and measured ~1.5x slower)
+    ones = [
+        F.sum(
+            F.shiftrightunsigned(
+                F.col("_lo" if j < 32 else "_hi"), j % 32
+            ).bitwiseAND(F.lit(1))
+        ).alias(f"_o{j}")
+        for j in range(64)
+    ]
+    agg = th.groupBy("id").agg(F.count("*").alias("_n"), *ones)
+    bit = lambda j: (  # noqa: E731
+        (F.col(f"_o{j}") * 2 > F.col("_n")).cast("long")
+    )
+    half = lambda lo_j: (  # noqa: E731
+        # OR-fold 32 shifted majority bits into one long
+        _bitor_fold([F.shiftleft(bit(j), j - lo_j) for j in range(lo_j, lo_j + 32)])
+    )
+    sig = F.shiftleft(half(32), 32).bitwiseOR(half(0))
+    return agg.select("id", sig.alias("sh"))
+
+
+def _bitor_fold(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    scheme: str = "python",
 ) -> DataFrame:
     """All pairs within SimHash hamming distance <= max_hamming — *exact*
     over the sketch: candidate blocking uses max_hamming+1 sub-blocks of
@@ -505,36 +565,48 @@ def simhash_pairs(
     exactly on at least one block and the blocked equi-join equals the
     all-pairs scan. The sketch itself is the md5-scheme simhash
     (fingerprint.simhash64_md5), recomputable by an ANSI-SQL oracle.
-    Tokenless docs carry no sketch and emit no pairs."""
+    Tokenless docs carry no sketch and emit no pairs.
 
-    @pandas_udf(LongType())
-    def simhash_udf(texts: pd.Series) -> pd.Series:
-        from ..functions.fingerprint import simhash64_md5_batch
-        from ..functions.tokenize import report_tokens
+    scheme picks the sketch kernel — both bit-identical (differential
+    test), both shuffle-free, both linear in corpus size:
 
-        def signed(v):
-            if v is None:
-                return None
-            return v - (1 << 64) if v >= (1 << 63) else v
+    * "python" (default): Arrow-batched UDF over whole texts — compiled
+      regex tokenize + md5 with a per-batch token memo. Measured 0.96s
+      warm at sf0.1.
+    * "native": pure JVM construction (simhash_native_sketch) — zero
+      Python workers. Measured 1.6s warm at sf0.1: Zipfian token
+      frequencies mean the memoized Python kernel hashes ~vocabulary-
+      size tokens while the JVM path pays md5+conv per occurrence, and
+      that beats the JVM's codegen advantage here. Kept as the
+      no-Python-runtime option and as the kernel's cross-check."""
+    if scheme == "native":
+        base = simhash_native_sketch(df, id_col, text_col)
+    else:
+        @pandas_udf(LongType())
+        def simhash_udf(texts: pd.Series) -> pd.Series:
+            from ..functions.fingerprint import simhash64_md5_batch
+            from ..functions.tokenize import report_tokens
 
-        sketches = simhash64_md5_batch(
-            [report_tokens(t or "") for t in texts]
-        )
-        return pd.Series([signed(v) for v in sketches], dtype="object")
+            def signed(v):
+                if v is None:
+                    return None
+                return v - (1 << 64) if v >= (1 << 63) else v
 
-    base = (
-        df.select(
+            sketches = simhash64_md5_batch(
+                [report_tokens(t or "") for t in texts]
+            )
+            return pd.Series([signed(v) for v in sketches], dtype="object")
+
+        base = df.select(
             F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh")
-        )
-        .where(F.col("sh").isNotNull())
-        # the sketch pass reads + tokenizes + hashes the whole corpus — the
-        # dominant cost at scale. Without a checkpoint the blocked self-join
-        # below re-evaluates it on BOTH sides (self-joins don't get
-        # ReusedExchange; measured 2x the UDF time at sf0.1). Lazy
-        # localCheckpoint materializes the slim (id, sh) frame (16B/doc)
-        # on first use so the corpus is sketched exactly once.
-        .localCheckpoint(eager=False)
-    )
+        ).where(F.col("sh").isNotNull())
+    # the sketch pass reads + tokenizes + hashes the whole corpus — the
+    # dominant cost at scale. Without a checkpoint the blocked self-join
+    # below re-evaluates it on BOTH sides (self-joins don't get
+    # ReusedExchange; measured 2x the UDF time at sf0.1). Lazy
+    # localCheckpoint materializes the slim (id, sh) frame (16B/doc)
+    # on first use so the corpus is sketched exactly once.
+    base = base.localCheckpoint(eager=False)
     blocks = base.select(
         "id", "sh",
         F.explode(

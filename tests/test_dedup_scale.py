@@ -443,3 +443,42 @@ def test_pair_operators_scan_corpus_once(spark):
             f"{label}: {n_scans} parquet scans — the corpus pass is being "
             "re-derived instead of read from the checkpoint"
         )
+
+
+def test_simhash_native_sketch_matches_python_kernel(spark):
+    """The JVM-native md5-scheme sketch must be bit-identical to the
+    Arrow-UDF kernel (fingerprint.simhash64_md5) over the real corpus —
+    same signed 64-bit values, same doc set (tokenless docs absent)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    native = {
+        (r.id, r.sh)
+        for r in __import__(
+            "spacetime_crawler4py_spark.operators.dedup", fromlist=["d"]
+        ).simhash_native_sketch(docs, "doc_id", "text").collect()
+    }
+    from spacetime_crawler4py_spark.functions.fingerprint import (
+        simhash64_md5_batch,
+    )
+    from spacetime_crawler4py_spark.functions.tokenize import report_tokens
+
+    rows = docs.select("doc_id", "text").collect()
+    want = set()
+    for r in rows:
+        (v,) = simhash64_md5_batch([report_tokens(r.text or "")])
+        if v is None:
+            continue
+        want.add((r.doc_id, v - (1 << 64) if v >= (1 << 63) else v))
+    assert native == want and native
+
+
+def test_simhash_pairs_schemes_agree(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r.id, r.id2, r.hamming)
+        for r in simhash_pairs(docs, "doc_id", "text", 8, scheme="native").collect()
+    }
+    b = {
+        (r.id, r.id2, r.hamming)
+        for r in simhash_pairs(docs, "doc_id", "text", 8, scheme="python").collect()
+    }
+    assert a == b and a
