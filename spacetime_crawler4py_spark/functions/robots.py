@@ -247,8 +247,9 @@ def parse_sitemap_directives(content: str) -> list[str]:
 
 # JVM twin of parse_sitemap_directives: one multiline regex pass, no
 # Python workers ('(?im)' = case-insensitive + per-line anchors; value =
-# the run of non-space/non-# chars after the colon)
-_SITEMAP_LINE_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\s]+)"
+# everything up to a comment or line end, trailing whitespace trimmed —
+# the same "keep internal spaces" rule as the python parser)
+_SITEMAP_LINE_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\r\n]*[^#\s])"
 
 
 def sitemap_urls_from_robots(

@@ -510,10 +510,15 @@ def simhash_native_sketch(df: DataFrame, id_col: str, text_col: str) -> DataFram
     row blowup — and the final packing is a 64-term shiftleft/OR chain
     (bit 63 wraps into the sign, matching the Python kernel's signed
     view). Tokenless docs carry no rows, hence no sketch."""
-    from ..operators.textstats import tokens_exploded
+    from ..operators.textstats import report_tokens_col
 
-    tok = tokens_exploded(df, id_col, text_col).select(
-        F.col("doc_id").alias("id"), "w"
+    # explode inline rather than via tokens_exploded: that helper casts
+    # the id to long, which would NULL out string/UUID ids and collapse
+    # every doc into one sketch — the python scheme preserves id types,
+    # so this kernel must too
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(report_tokens_col(F.col(text_col))).alias("w"),
     )
     h = F.md5(F.col("w"))
     th = tok.select(

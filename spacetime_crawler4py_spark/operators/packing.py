@@ -65,7 +65,16 @@ def pack_token_spans(
         .where(F.col("n") > 0)
         .withColumn("bucket", F.floor(F.col("id") / bucket_width))
     )
-    w = Window.partitionBy("bucket").orderBy("id")
+    # ROWS frame, not the default RANGE: RANGE makes duplicate ids peers
+    # (each would get a cumsum including both — overlapping spans plus a
+    # hole, silently). With ROWS, duplicate ids still get disjoint
+    # adjacent spans; the manifest is only fully deterministic for
+    # unique ids (their relative order is arbitrary).
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     d = d.withColumn("local_end", F.sum("n").over(w))
     totals = d.groupBy("bucket").agg(F.max("local_end").alias("bucket_total"))
     # O(#buckets) frame: the single-partition window here is deliberate
@@ -109,6 +118,10 @@ def pack_manifest(
     usual training choice — a short tail example would need padding).
     """
     spans = pack_token_spans(df, id_col, n_tokens_col, bucket_width)
+    if drop_ragged_tail:
+        # two consumers below (explode + the max(tok_end) scalar):
+        # materialize so the cumsum subtree doesn't run twice
+        spans = spans.localCheckpoint(eager=False)
     first_seq = F.floor(F.col("tok_start") / seq_len)
     last_seq = F.floor((F.col("tok_end") - 1) / seq_len)
     exploded = spans.select(

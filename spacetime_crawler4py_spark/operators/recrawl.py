@@ -43,9 +43,16 @@ def recrawl_candidates(
     score = priority_milli + 10 * age_days (capped at max_age_days);
     'new' URLs take the full cap — never-seen beats any equally-weighted
     stale page. lastmod is read at day precision (the common sitemap
-    granularity): sub-day lastmod churn does not thrash the schedule."""
-    lastmod_unix = F.unix_timestamp(
-        F.to_date(F.substring(F.col("lastmod"), 1, 10))
+    granularity): sub-day lastmod churn does not thrash the schedule.
+    The day is converted to unix seconds via datediff from the epoch —
+    a pure date computation, so the schedule does not depend on the
+    session timezone (unix_timestamp(to_date(...)) would)."""
+    lastmod_unix = (
+        F.datediff(
+            F.to_date(F.substring(F.col("lastmod"), 1, 10)),
+            F.to_date(F.lit("1970-01-01")),
+        ).cast("long")
+        * 86400
     )
     joined = candidates.join(completions, "url", "left")
     age_days = F.floor(

@@ -179,13 +179,24 @@ def temperature_resample(
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("_c"))
     cmin = counts.agg(F.min("_c").alias("_cmin"))
     dim = counts.crossJoin(F.broadcast(cmin)).select(
-        stratum_col,
+        F.col(stratum_col).alias("_stratum"),
         F.least(F.floor(r * _RATE_DENOM), F.lit(_RATE_DENOM))
         .cast("long")
         .alias("keep_thr_q"),
     )
     key = sample_key_col(F.col(id_col), salt)
-    return df.join(F.broadcast(dim), stratum_col).where(
-        (F.col("keep_thr_q") >= _RATE_DENOM)
-        | (key < F.format_string("%04x", F.col("keep_thr_q")))
+    # null-safe join: groupBy counts a NULL stratum as its own group, so
+    # NULL-stratum rows must match their threshold row too (a plain
+    # equi-join would silently drop them — breaking "alpha=1 keeps
+    # everything")
+    return (
+        df.join(
+            F.broadcast(dim),
+            F.col(stratum_col).eqNullSafe(F.col("_stratum")),
+        )
+        .drop("_stratum")
+        .where(
+            (F.col("keep_thr_q") >= _RATE_DENOM)
+            | (key < F.format_string("%04x", F.col("keep_thr_q")))
+        )
     )

@@ -357,9 +357,14 @@ def remove_dup_spans(
     the n-window span, distinct, anti-joined against the token stream.
     Per-doc reassembly is a sort inside a hash-agg (array_sort over the
     collected (pos, w) structs — per-doc state, no global sort)."""
+    # checkpoint only a stream we created: a caller-provided ``tokens``
+    # follows the scan-once pattern and is already checkpointed — a
+    # second wrap would materialize the corpus-scale stream twice
     tok = (
-        tokens if tokens is not None else tokens_exploded(df, id_col, text_col)
-    ).localCheckpoint(eager=False)
+        tokens
+        if tokens is not None
+        else tokens_exploded(df, id_col, text_col).localCheckpoint(eager=False)
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
     grams = (

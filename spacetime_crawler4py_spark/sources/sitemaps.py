@@ -44,13 +44,17 @@ _PRIORITY = r"(?s)<priority\b[^>]*>\s*(.*?)\s*</priority>"
 
 
 def _xml_unescape(c: Column) -> Column:
-    """The five XML entities + CDATA unwrap, innermost-first order
-    (&amp; last so '&amp;lt;' decodes to '&lt;' not '<')."""
-    c = F.regexp_replace(c, r"(?s)^<!\[CDATA\[(.*)\]\]>$", r"$1")
+    """XML text decoding: a CDATA section's content is LITERAL (wrapper
+    stripped, nothing decoded — xml.etree agrees); plain text gets the
+    five entity replacements, &amp; last so '&amp;lt;' decodes to
+    '&lt;' not '<'."""
+    is_cdata = c.rlike(r"(?s)^<!\[CDATA\[.*\]\]>$")
+    literal = F.regexp_replace(c, r"(?s)^<!\[CDATA\[(.*)\]\]>$", r"$1")
+    decoded = c
     for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                     ("&apos;", "'"), ("&amp;", "&")]:
-        c = F.replace(c, F.lit(ent), F.lit(ch))
-    return c
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    return F.when(is_cdata, literal).otherwise(decoded)
 
 
 def parse_sitemap_entries(
@@ -102,9 +106,14 @@ def expand_sitemap_index(
     children = entries.where(F.col("kind") == "sitemap").select(
         F.col(loc_col).alias("_loc"), "host"
     )
-    fetched = children.join(
-        child_payloads.withColumnRenamed(loc_col, "_loc"), "_loc"
-    ).select("host", xml_col)
+    # project the payload side down to (loc, xml) before joining: the
+    # natural fetched-payload shape carries its own host column, which
+    # would make the post-join 'host' reference ambiguous — the index
+    # entry's host is the one we keep
+    payloads = child_payloads.select(
+        F.col(loc_col).alias("_loc"), F.col(xml_col)
+    )
+    fetched = children.join(payloads, "_loc").select("host", xml_col)
     return parse_sitemap_entries(fetched, "host", xml_col)
 
 

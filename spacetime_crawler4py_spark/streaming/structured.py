@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -184,10 +185,17 @@ def _make_session_fn(gap_s: int, use_timeout: bool = True):
             next_session, last_ts, open_count, open_start = 1, None, 0, 0
 
         closed = []
-        for pdf in batches:
-            ts = (
-                pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000_000
-            ).to_numpy()
+        # gather the group's WHOLE micro-batch before sorting: Spark only
+        # groups by key, it never orders by time, and a group larger than
+        # one Arrow chunk (maxRecordsPerBatch) would otherwise interleave
+        # chunk-sorted runs — negative gaps, merged sessions
+        chunks = [
+            (pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000_000)
+            .to_numpy()
+            for pdf in batches
+        ]
+        if chunks:
+            ts = np.concatenate(chunks)
             ts.sort()
             for t in ts:
                 t = int(t)

@@ -482,3 +482,23 @@ def test_simhash_pairs_schemes_agree(spark):
         for r in simhash_pairs(docs, "doc_id", "text", 8, scheme="python").collect()
     }
     assert a == b and a
+
+
+def test_simhash_native_scheme_preserves_string_ids(spark):
+    """The native kernel must not coerce ids: string ids flow through
+    both schemes identically (a long cast would NULL them out and
+    collapse every doc into one sketch)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("concat('url-', doc_id) AS url", "text")
+        .limit(50)
+    )
+    a = {
+        (r.id, r.id2, r.hamming)
+        for r in simhash_pairs(docs, "url", "text", 8, scheme="native").collect()
+    }
+    b = {
+        (r.id, r.id2, r.hamming)
+        for r in simhash_pairs(docs, "url", "text", 8, scheme="python").collect()
+    }
+    assert a == b

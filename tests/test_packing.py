@@ -103,3 +103,17 @@ def test_ragged_tail_drop(spark):
     # the dropped rows are exactly the final ragged sequence's pieces
     dropped = {r.seq_id for r in full.collect()} - kept
     assert dropped in (set(), {n_full})
+
+
+def test_duplicate_ids_get_disjoint_spans(spark):
+    """ROWS-frame cumsum: duplicated ids must yield adjacent DISJOINT
+    spans (the default RANGE frame would make them peers — overlapping
+    spans plus a hole)."""
+    df = spark.createDataFrame(
+        [(1, 100), (2, 100), (2, 100), (3, 100)], "doc_id long, n long"
+    )
+    spans = sorted(
+        (r.tok_start, r.tok_end)
+        for r in pack_token_spans(df, "doc_id", "n", bucket_width=10).collect()
+    )
+    assert spans == [(0, 100), (100, 200), (200, 300), (300, 400)]

@@ -56,3 +56,26 @@ def test_age_bonus_caps(spark):
     now = T0 + 400 * DAY  # far beyond the 30-day cap
     (row,) = recrawl_candidates(cands, completions, now).collect()
     assert row.reason == "changed" and row.score == 300
+
+
+def test_schedule_is_session_timezone_independent(spark):
+    """lastmod day -> unix must be a pure date computation: the same
+    inputs classify identically under any session timezone."""
+    cands = spark.createDataFrame(
+        [("u/c", "2024-01-20", 300)], "url string, lastmod string, priority_milli long"
+    )
+    completions = spark.createDataFrame(
+        [("u/c", T0 + 10 * DAY)], "url string, fetched_unix long"
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        out = {}
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            out[tz] = sorted(
+                map(tuple, recrawl_candidates(cands, completions, T0 + 25 * DAY).collect())
+            )
+        assert out["UTC"] == out["America/Los_Angeles"] == out["Asia/Tokyo"]
+        assert out["UTC"] and out["UTC"][0][1] == "changed"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

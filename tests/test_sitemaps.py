@@ -164,3 +164,45 @@ def test_sitemap_urls_from_robots_df(spark):
         ("d.example.com", "https://d.example.com/sitemap.xml"),
         ("d.example.com", "https://d.example.com/sitemap-news.xml"),
     }
+
+
+def test_cdata_content_stays_literal(spark):
+    """Per XML, CDATA content is literal: entities inside it must NOT be
+    decoded (xml.etree agrees)."""
+    xml = ("<urlset><url><loc><![CDATA[https://x.example.com/?a=1&amp;b=2]]>"
+           "</loc></url></urlset>")
+    df = spark.createDataFrame([("x.example.com", xml)], "host string, xml string")
+    (row,) = parse_sitemap_entries(df).collect()
+    assert row.loc == "https://x.example.com/?a=1&amp;b=2"
+    ns_free = ET.fromstring(xml)
+    assert row.loc == ns_free.find("url/loc").text
+
+
+def test_index_expansion_with_host_carrying_payloads(spark):
+    """Fetched child payloads naturally carry their own host column; the
+    join must not become ambiguous (the index entry's host wins)."""
+    idx = spark.createDataFrame([("b.example.com", INDEX)], "host string, xml string")
+    children = spark.createDataFrame(
+        [("fetcher.internal", "https://b.example.com/sitemap-posts.xml", CHILD)],
+        "host string, loc string, xml string",
+    )
+    expanded = expand_sitemap_index(parse_sitemap_entries(idx), children)
+    got = {(r.host, r.loc) for r in expanded.collect()}
+    assert got == {
+        ("b.example.com", "https://b.example.com/post/1"),
+        ("b.example.com", "https://b.example.com/post/2"),
+    }
+
+
+def test_sitemap_directive_with_internal_space_twins_agree(spark):
+    """Both kernels keep internal whitespace in the directive value."""
+    from spacetime_crawler4py_spark.functions.robots import (
+        parse_sitemap_directives,
+        sitemap_urls_from_robots,
+    )
+
+    content = "Sitemap: https://x.example.com/site map.xml  # c\n"
+    want = ["https://x.example.com/site map.xml"]
+    assert parse_sitemap_directives(content) == want
+    df = spark.createDataFrame([("x", content)], "host string, content string")
+    assert [r.sitemap_url for r in sitemap_urls_from_robots(df).collect()] == want

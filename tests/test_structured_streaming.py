@@ -272,3 +272,30 @@ def test_sessionize_timeout_flush_preserves_ordinal():
     assert flushed2 == [(7, 4, 1, 30000, 30000)]
     assert _timeout(fn, state) == []
     assert not state.exists
+
+
+def test_sessionize_sorts_across_arrow_chunks():
+    """A group larger than one Arrow chunk arrives as multiple pdfs in
+    arbitrary time order; the state fn must sort the WHOLE batch before
+    running the gap machine (chunk-local sorting would see negative gaps
+    and merge real session boundaries)."""
+    import pandas as pd
+
+    fn = _make_session_fn(1800)
+    state = _FakeGroupState()
+    # chunk 2 holds EARLIER events than chunk 1; correct global order is
+    # [100, 200, 5000, 10000] -> session 1 = {100, 200}, session 2 =
+    # {5000, 10000}? gap(200->5000)=4800>1800 closes s1; gap(5000->10000)
+    # =5000>1800 closes s2; session 3 open at 10000
+    batches = iter(
+        [
+            pd.DataFrame({"ts": pd.to_datetime([5000, 10000], unit="s")}),
+            pd.DataFrame({"ts": pd.to_datetime([100, 200], unit="s")}),
+        ]
+    )
+    closed = [
+        tuple(t) for out in fn((7,), batches, state)
+        for t in out.itertuples(index=False)
+    ]
+    assert closed == [(7, 1, 2, 100, 200), (7, 2, 1, 5000, 5000)]
+    assert state.get == (3, 10000, 1, 10000)

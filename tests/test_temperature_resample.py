@@ -85,3 +85,19 @@ def test_rejects_nonportable_alpha(spark):
     df, _ = _synth(spark)
     with pytest.raises(ValueError):
         temperature_resample(df, "doc_id", "source", alpha=0.3)
+
+
+def test_null_stratum_rows_are_kept(spark):
+    """A NULL stratum is a real group (unknown-origin docs): groupBy
+    counts it, and the null-safe join must give its rows a threshold
+    instead of silently dropping them."""
+    rows = [(i, "a") for i in range(40)] + [(i + 100, None) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, "doc_id", "source", alpha=1.0)
+    assert out.count() == 50  # alpha=1 keeps the natural distribution
+    thrs = {r.source: r.keep_thr_q for r in out.collect()}
+    assert thrs == {"a": 65536, None: 65536}
+    # and at alpha=0 the null stratum (the rarest) keeps everything
+    flat = temperature_resample(df, "doc_id", "source", alpha=0.0)
+    null_rows = flat.where("source IS NULL")
+    assert null_rows.count() == 10
