@@ -127,10 +127,14 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
 
 def _cpu_jiffies() -> tuple[int, int]:
-    """(busy, steal) jiffies from the aggregate /proc/stat cpu line."""
+    """(busy, steal) jiffies from the aggregate /proc/stat cpu line.
+    Only the first 8 fields count: guest/guest_nice (fields 9-10) are
+    already folded into user/nice by the kernel, so summing them would
+    double-count guest time and overstate busy on a virtualized host —
+    the exact busy-vs-steal comparison these numbers exist for."""
     with open("/proc/stat") as fh:
         parts = fh.readline().split()
-    vals = [int(v) for v in parts[1:]]
+    vals = [int(v) for v in parts[1:9]]
     idle = vals[3] + vals[4]  # idle + iowait
     steal = vals[7] if len(vals) > 7 else 0
     return sum(vals) - idle, steal

@@ -74,7 +74,10 @@ def main() -> None:
             rg = meta.row_group(g)
             groups_total += 1
             bytes_total += rg.total_byte_size
-            if rg.column(idx).statistics.min > bound:
+            # a chunk without footer stats is simply unprunable, not an
+            # error (writer configs can disable statistics)
+            st = rg.column(idx).statistics
+            if st is not None and st.has_min_max and st.min > bound:
                 groups_prunable += 1
                 bytes_prunable += rg.total_byte_size
 

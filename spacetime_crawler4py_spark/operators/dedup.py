@@ -266,6 +266,13 @@ def minhash_native_bands(
     xxhash64 over the band's signature slice. Docs with no shingles carry
     no rows, hence emit no candidate pairs — identical to the verified-
     pairs semantics, where a pair needs at least one common shingle."""
+    if bands <= 0 or num_perm % bands:
+        raise ValueError(
+            f"bands must divide num_perm (got num_perm={num_perm}, "
+            f"bands={bands}): a non-divisor silently truncates the "
+            "signature (paid-for permutations never consumed) and "
+            "bands > num_perm degenerates every doc into every bucket"
+        )
     rows = num_perm // bands
     sigs = ex.groupBy("id").agg(
         *[
@@ -371,9 +378,12 @@ def minhash_lsh_verified_pairs(
     workers, everything whole-stage codegen); "python" is the splitmix64
     Arrow-UDF kernel that matches the engine's persisted sketch scheme
     (fingerprint.SKETCH_SCHEME) for cross-checking stored signatures.
-    Either way the output is the exact verified pair set — the scheme only
-    moves the candidate-recall s-curve, which the containment pytest gates
-    for both kernels."""
+    Either way every EMITTED pair is exactly verified (no false
+    positives); the schemes' banding s-curves differ, so on a corpus
+    where a kernel's recall dips below 1 at the threshold their outputs
+    can differ by the missed pairs — equality with the full exact pair
+    set (what the SQL oracle computes) holds exactly when recall is 1,
+    which the containment pytest gates for both kernels at test scale."""
     # the shingle pass (scan + tokenize + window + hash) feeds candidate
     # generation, per-doc sizes, AND both sides of the verification join —
     # four consumers; without a checkpoint each re-derives it from the

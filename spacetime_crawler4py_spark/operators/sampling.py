@@ -43,9 +43,14 @@ def sample_key_col(id_col: Column, salt: str = "sample") -> Column:
 
 
 def _threshold_hex(rate: float) -> str:
-    """rate (0 <= rate < 1) as the exclusive 4-hex-digit upper bound."""
-    if not 0.0 <= rate < 1.0:
-        raise ValueError(f"rate must be in [0, 1): {rate}")
+    """rate (0 <= rate <= 1) as the exclusive 4-hex-digit upper bound.
+    rate=1.0 (keep the whole stratum — a standard mixture weight) maps
+    to 'g', which every 4-hex-digit key sorts below, so the comparison
+    stays a plain string '<' with no special-casing at the call sites."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1]: {rate}")
+    if rate == 1.0:
+        return "g"
     return format(int(rate * _RATE_DENOM), "04x")
 
 

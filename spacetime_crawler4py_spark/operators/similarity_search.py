@@ -74,6 +74,18 @@ def quantize_embeddings_int8(
     )
 
 
+def _grid_blocks(n_rows: int, rows_per_block: int, parallelism: int) -> int:
+    """Block count honoring BOTH grid bounds: >= 2P so every core gets
+    cells, AND >= N/rows_per_block so a cell stays a bounded numpy
+    matmul — parallelism alone would let a block grow to N/2P rows and
+    the per-cell matrix to (N/2P)^2 floats (OOM at corpus scale)."""
+    return max(
+        2,
+        2 * parallelism,
+        -(-n_rows // max(1, rows_per_block)),  # ceil div
+    )
+
+
 def blocked_pair_cos_bp(
     emb: DataFrame,
     id_col: str,
@@ -102,14 +114,12 @@ def blocked_pair_cos_bp(
     variant below is the sub-quadratic path when exact all-pairs is not
     required."""
     if n_blocks is None:
-        # size the grid WITHOUT a count() job (one avoidable Spark action
-        # per call): cluster parallelism is the natural lower bound on
-        # useful cells, and callers with a known corpus size pass n_blocks
-        # (or rows_per_block-derived) explicitly. B(B+1)/2 cells over 2P
-        # blocks keeps every core busy while each cell stays a bounded
-        # numpy matmul.
+        # the count() is one cheap metadata-friendly job; callers who
+        # know N pass n_blocks explicitly to skip it
         sc = emb.sparkSession.sparkContext
-        n_blocks = max(2, 2 * sc.defaultParallelism)
+        n_blocks = _grid_blocks(
+            emb.count(), rows_per_block, sc.defaultParallelism
+        )
     B = n_blocks
 
     tagged = emb.select(

@@ -151,8 +151,14 @@ def repetition_scores(
 
     * ``top_bigram_ppm`` — share of bigram slots taken by the single most
       frequent bigram (catches "click here click here ..." spam),
-    * ``dup_trigram_ppm`` — share of trigram slots whose trigram occurs
-      more than once (catches templated/looping text),
+    * ``dup_trigram_ppm`` — EXCESS-occurrence fraction of trigrams:
+      (n_slots − n_distinct) / n_slots, i.e. each repeated trigram counts
+      its occurrences beyond the first (text where every trigram appears
+      exactly twice scores 500000, not 1000000). This is the
+      distinct-ratio complement several curation pipelines use; it is
+      deliberately NOT "share of slots whose trigram occurs >1 time" —
+      that stricter readout saturates faster and would need recalibrated
+      thresholds (catches templated/looping text either way),
     * ``repetitive`` — either signal past its Gopher-derived threshold.
 
     Built on the posexplode + lead-window n-gram pattern (see

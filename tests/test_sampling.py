@@ -52,10 +52,15 @@ def test_stratified_rates_match_python_oracle(spark):
     assert not any(i % 3 == 2 for i in got)  # default rate 0 drops src2
 
 
-def test_rate_one_rejected(spark):
+def test_rate_bounds(spark):
+    """rate=1.0 (keep-all, a standard mixture weight) is expressible;
+    out-of-range rates are rejected."""
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    assert hash_sample(df, "doc_id", 1.0).count() == 1
     with pytest.raises(ValueError):
-        hash_sample(df, "doc_id", 1.0)
+        hash_sample(df, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        hash_sample(df, "doc_id", -0.1)
 
 
 def test_decile_stats_hand_case(spark):
