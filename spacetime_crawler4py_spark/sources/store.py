@@ -68,8 +68,12 @@ class SnapshotStore:
             props.update(properties)
         manifest = {"version": version, "paths": paths, "properties": props}
         versioned = self._manifest_path(name, version)
-        with open(versioned, "w", encoding="utf-8") as f:
+        # same tmp+rename dance as the current pointer below: a crash
+        # mid-write must leave no torn JSON for read_version() to choke on
+        vtmp = versioned + ".tmp"
+        with open(vtmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f)
+        os.replace(vtmp, versioned)
         tmp = self._manifest_path(name) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f)

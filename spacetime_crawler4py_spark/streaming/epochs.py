@@ -334,7 +334,13 @@ class CrawlEngine:
                 self.store.set_property(
                     "fingerprints", "sketch_scheme", SKETCH_SCHEME
                 )
-        if self.cfg.neardup == "exact":
+        # _fps_index is the EXACT-ORDERING near-dup state (used whenever
+        # neardup is on, lsh or exact — _append_round_outputs probes it
+        # regardless of scheme); relaxed mode never touches it (its dedup
+        # runs as distributed joins). The old `neardup == "exact"` guard
+        # left exact+lsh resumes with an empty index — near-dups against
+        # pre-resume documents silently missed.
+        if self.cfg.ordering == "exact" and self.cfg.neardup != "off":
             fps_df = self.store.read_or_none("fingerprints")
             if fps_df is not None:
                 rows = fps_df.orderBy("ord_round", "ord_pop").collect()
@@ -491,16 +497,22 @@ class CrawlEngine:
             rows.append(
                 (h, url, dom, self._salt_of(url), None, -1, "", i, -1, seq)
             )
-        if self.cfg.watermark_dim == "store" and rows:
-            self._merge_enqueued_store(
-                {dom: counters[dom] for dom in {r[2] for r in rows}}
-            )
         names = [f.name for f in ARROW_SCHEMAS["frontier"]]
         rows.sort(key=lambda r: r[-1])  # seq-sorted like every frontier delta
         self.store.append_rows(
             "frontier", [dict(zip(names, r)) for r in rows],
             ARROW_SCHEMAS["frontier"],
         )
+        if self.cfg.watermark_dim == "store" and rows:
+            # counters commit AFTER the frontier rows — the same crash
+            # order the epoch loop keeps (see _resume's max-merge): a
+            # crash in between leaves a stale snapshot that the resume
+            # repairs from frontier max(seq). The inverted order would
+            # persist phantom enqueued values for rows that never landed,
+            # an unrepairable seq gap that stalls the domain forever.
+            self._merge_enqueued_store(
+                {dom: counters[dom] for dom in {r[2] for r in rows}}
+            )
         self.store.append_rows(
             "seen", [{"url_hash": r[0]} for r in rows], ARROW_SCHEMAS["seen"]
         )
@@ -564,7 +576,11 @@ class CrawlEngine:
             else:
                 self._checksums.add(r.checksum)
             fps = frozenset(r.fps or [])
-            is_near = any(
+            # neardup='off' must really be off: with compute_sketches=False
+            # every doc's fps is empty and jaccard(∅, ∅) = 1.0 — without
+            # this guard the second doc onward would be flagged near-dup
+            # and silently never saved
+            is_near = self.cfg.neardup != "off" and any(
                 jaccard(fps, other) >= NEAR_DUP_TAU
                 for _, other in self._fps_index
             )
@@ -861,10 +877,10 @@ class CrawlEngine:
             F.pmod(F.xxhash64("url"), F.lit(self.cfg.salt_buckets))
             .cast("int").alias("salt"),
             "parent",
-            (F.lit(base) + F.col("slot") - 1).alias("rk_round"),
+            (F.lit(base) + F.col("slot") - 1).cast("long").alias("rk_round"),
             F.col("parent_domain").alias("rk_pop"),
             F.col("pos").alias("rk_pos"),
-            F.lit(base).alias("epoch_added"),
+            F.lit(base).cast("long").alias("epoch_added"),
         )
         # permanent per-domain FIFO position: rank within THIS batch (a
         # window over the epoch's new rows only — the full frontier is
@@ -931,14 +947,14 @@ class CrawlEngine:
         self.store.append(
             "completions",
             parsed.select(
-                "url_hash", (F.lit(base) + F.col("slot") - 1).alias("round")
+                "url_hash", (F.lit(base) + F.col("slot") - 1).cast("long").alias("round")
             ),
         )
 
         # documents + near-dup (lsh or off) — pop order key = (round, domain)
         docs = ok.select(
             "doc_id", "domain", "slot", "word_count", "spans", "fps", "bands",
-            "checksum", (F.lit(base) + F.col("slot") - 1).alias("ord_round"),
+            "checksum", (F.lit(base) + F.col("slot") - 1).cast("long").alias("ord_round"),
             F.col("domain").alias("ord_pop"),
         )
         # doc_id collisions happen only via redirects; detect them on a slim
@@ -961,7 +977,11 @@ class CrawlEngine:
             docs_first = docs.join(
                 F.broadcast(dup_ids), "doc_id", "left_anti"
             ).unionByName(winners)
-        near_df = self._flag_near_dups_lsh(docs_first)
+        # persist: the LSH band self-join + prior-fingerprints scan behind
+        # near_df otherwise re-executes for each of its consumers (saved
+        # count, documents append, near-dup metric) — 3x the epoch's
+        # dominant join
+        near_df = self._flag_near_dups_lsh(docs_first).persist()
         prior_docs = self.store.read_or_none("documents")
         to_save = near_df.where(~F.col("is_near_dup"))
         if prior_docs is not None:
@@ -985,7 +1005,7 @@ class CrawlEngine:
         self.store.append(
             "fetch_log",
             parsed.select(
-                (F.lit(base) + F.col("slot") - 1).alias("round"),
+                (F.lit(base) + F.col("slot") - 1).cast("long").alias("round"),
                 "url", "url_hash", "domain", "gate", "checksum", "doc_id",
             ),
         )
@@ -999,6 +1019,7 @@ class CrawlEngine:
             if (collect and self.cfg.neardup != "off") else 0,
             "exact_dups": 0,  # metric-only quirk; see exact mode
         }
+        near_df.unpersist()
         # advance the per-domain served watermarks last: a crash earlier in
         # the epoch leaves the persisted snapshot untouched, so resume
         # replays the whole epoch (at-least-once fetch; frontier/documents

@@ -165,3 +165,22 @@ def test_monotone_seen_no_revisits(exact_run):
     comp = store.read("completions").collect()
     done = [r.url_hash for r in comp]
     assert len(done) == len(set(done))  # fetched at most once
+
+
+def test_exact_mode_neardup_off_saves_documents(spark, web, web_df, tmp_path_factory):
+    """neardup='off' in exact ordering must actually be off: with sketches
+    disabled every doc's fingerprint set is empty and jaccard(∅,∅)=1, so
+    an unguarded near-dup probe would flag every doc after the first and
+    save exactly one document."""
+    store, engine = _run_engine(
+        spark, web, web_df, tmp_path_factory.mktemp("exact_off"),
+        ordering="exact", neardup="off",
+    )
+    n_docs = store.read("documents").count()
+    assert n_docs > 1
+    # near-dup-off must save at least as many docs as the near-dup run
+    store2, _ = _run_engine(
+        spark, web, web_df, tmp_path_factory.mktemp("exact_nd"),
+        ordering="exact", neardup="exact",
+    )
+    assert n_docs >= store2.read("documents").count()
