@@ -1901,7 +1901,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE event_type = 'purchase'
             )
             SELECT w.purchase_id, count(*) AS n_follow,
-                   sum(CAST(floor(pts.value * 1000) AS BIGINT)) AS value_milli
+                   -- CAST: DuckDB's sum(BIGINT) is HUGEINT (int128); the
+                   -- driver's normalizer renders HUGEINT differently from
+                   -- Spark's BIGINT (this was round-3's one red row) ->
+                   -- force BIGINT on the oracle side
+                   CAST(sum(CAST(floor(pts.value * 1000) AS BIGINT))
+                        AS BIGINT) AS value_milli
             FROM pts JOIN wins w
               ON pts.user_id = w.user_id AND pts.p >= w.s AND pts.p <= w.en
             GROUP BY 1

@@ -48,6 +48,47 @@ def df_hash(cols, rows):
     return h.hexdigest()[:16]
 
 
+RISKY_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT", "UINTEGER")
+
+
+def lint_types(cur):
+    """Flag DuckDB output types whose Python/Arrow renderings can diverge
+    from Spark's (round-3 lesson: sum(BIGINT) -> HUGEINT hashed red in the
+    driver while fetchall() hid it locally)."""
+    bad = []
+    for d in cur.description:
+        tname = str(d[1]).upper()
+        if any(t in tname for t in RISKY_DUCK_TYPES):
+            bad.append(f"{d[0]}:{d[1]}")
+    return bad
+
+
+def dump_diff(name, scols, srows, ocols, orows, limit=10):
+    """Sorted row-level diff between the two result sets, plus engine
+    versions — printed on any hash mismatch so driver reds are
+    root-causable from the log alone."""
+    import duckdb as _d
+    import pyspark as _p
+
+    print(f"      versions: pyspark={_p.__version__} duckdb={_d.__version__}")
+    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    sset = sorted("\x1f".join(norm_cell(r[i]) for i in order_s) for r in srows)
+    oset = sorted("\x1f".join(norm_cell(r[i]) for i in order_o) for r in orows)
+    from collections import Counter
+
+    s_only = Counter(sset) - Counter(oset)
+    o_only = Counter(oset) - Counter(sset)
+    for tag, bag in (("spark-only", s_only), ("oracle-only", o_only)):
+        shown = 0
+        for line, n in bag.items():
+            if shown >= limit:
+                print(f"      {tag}: ... {len(bag) - limit} more")
+                break
+            print(f"      {tag} x{n}: {line.replace(chr(31), ' | ')}")
+            shown += 1
+
+
 def main():
     only = set(sys.argv[1:])
     from pyspark.sql import SparkSession
@@ -90,9 +131,18 @@ def main():
         try:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
+            risky = lint_types(cur)
             orows = cur.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            fails.append(name)
+            continue
+        if risky:
+            # not a hash failure here (fetchall yields Python ints), but the
+            # driver's Arrow/pandas path renders these types differently ->
+            # treat as a gate failure so it never reaches the driver red.
+            print(f"FAIL  {name}: risky oracle output types {risky} "
+                  f"(cast to BIGINT/DOUBLE in the SQL)")
             fails.append(name)
             continue
         sh = df_hash(scols, [tuple(r) for r in srows])
@@ -105,6 +155,7 @@ def main():
                 f"FAIL  {name}: spark {len(srows)} rows cols={sorted(scols)} hash={sh}"
                 f" | duck {len(orows)} rows cols={sorted(ocols)} hash={oh}"
             )
+            dump_diff(name, scols, [tuple(r) for r in srows], ocols, orows)
             fails.append(name)
     print("=" * 60)
     print(f"{'ALL OK' if not fails else 'FAILURES: ' + ', '.join(fails)}")
