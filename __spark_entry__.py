@@ -1272,6 +1272,62 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN behind a TRAINED coarse quantizer: two fixed-point
+    (floor-updated) spherical-k-means Lloyd iterations over the
+    milli-quantized corpus, min-id init — every update is exact integer
+    arithmetic in fp64 plus one IEEE division and a floor, so the trained
+    centroids (and therefore the whole index) are bit-identical across
+    partitionings and engines. The DuckDB oracle replays both Lloyd
+    iterations as unrolled CTEs. Closes round-3's 'kmeans has no contract
+    query' gap (operators/similarity_search.kmeans_centroids)."""
+    from spacetime_crawler4py_spark.operators.similarity_search import (
+        ivf_topk, kmeans_centroids,
+    )
+
+    emb = _quantized_emb(spark, sf_dir)
+    cents = kmeans_centroids(
+        emb, "vec_id", "v", k=16, iters=2, init="minid", floor_updates=True
+    ).select(F.col("cid").alias("vec_id"), F.col("cv").alias("v"))
+    probes = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(
+        _spread(emb), probes, "vec_id", "v",
+        centroids=cents, n_probe=8, k=10, emit_bp=True,
+    )
+
+
+def _sql_lloyd_iteration(i: int, dim: int) -> str:
+    """One unrolled fixed-point Lloyd step c{i-1} -> c{i} (assignment +
+    floored mean update + empty-cell carryover) for the ann_ivf_trained
+    oracle."""
+    p, n = i - 1, i
+    return f"""
+            a{n} AS (
+              SELECT vec_id, v, cid AS cell FROM (
+                SELECT e.vec_id, e.v, c{p}.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(e.v, c{p}.cv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(c{p}.cv, c{p}.cv))) DESC,
+                         c{p}.cid ASC) AS rn
+                FROM e CROSS JOIN c{p}
+              ) WHERE rn = 1
+            ),
+            m{n} AS (
+              SELECT cell, d.i AS dim, floor(avg(v[d.i])) AS m
+              FROM a{n} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) d
+              GROUP BY cell, d.i
+            ),
+            mc{n} AS (
+              SELECT cell AS cid, list(m ORDER BY dim) AS cv
+              FROM m{n} GROUP BY cell
+            ),
+            c{n} AS (
+              SELECT c{p}.cid, coalesce(mc{n}.cv, c{p}.cv) AS cv
+              FROM c{p} LEFT JOIN mc{n} USING (cid)
+            )"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the crawl-report top-words pipeline at sf0.001."""
     return q_top_words(spark, "/root/testdata/sf0.001")
@@ -1323,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
         # frontier/crawl relational kernels (SURVEY §2.4/§2.6)
         "seen_anti_join": q_seen_anti_join,
         "first_seen": q_first_seen,
@@ -2244,6 +2301,56 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY probe_id
                                         ORDER BY cos DESC, neighbor_id ASC) AS rank
               FROM scored
+            )
+            SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        "ann_ivf_trained": f"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> floor(x::DOUBLE * 1000)) AS v
+              FROM embeddings
+            ),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+            ),{_sql_lloyd_iteration(1, 64)},{_sql_lloyd_iteration(2, 64)},
+            cells AS (
+              SELECT vec_id AS neighbor_id, v AS nv, cell FROM (
+                SELECT e.vec_id, e.v, c2.cid AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(e.v, c2.cv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(c2.cv, c2.cv))) DESC,
+                         c2.cid ASC) AS rn
+                FROM e CROSS JOIN c2
+              ) WHERE rn = 1
+            ),
+            p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+            pcells AS (
+              SELECT probe_id, pv, cid AS cell FROM (
+                SELECT probe_id, pv, cid,
+                       row_number() OVER (PARTITION BY probe_id ORDER BY
+                         list_dot_product(pv, cv)
+                           / (sqrt(list_dot_product(pv, pv))
+                              * sqrt(list_dot_product(cv, cv))) DESC,
+                         cid ASC) AS rn
+                FROM p CROSS JOIN c2
+              ) WHERE rn <= 8
+            ),
+            cands AS (
+              SELECT probe_id, neighbor_id,
+                     list_dot_product(pv, nv)
+                       / (sqrt(list_dot_product(pv, pv))
+                          * sqrt(list_dot_product(nv, nv))) AS cos
+              FROM pcells JOIN cells USING (cell)
+              WHERE probe_id != neighbor_id
+            ),
+            ranked AS (
+              SELECT probe_id, neighbor_id,
+                     CAST(floor(cos * 10000) AS BIGINT) AS cos_bp,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM cands
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
         """,

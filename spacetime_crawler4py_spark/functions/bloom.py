@@ -69,6 +69,16 @@ class BloomFilter:
         probe = (self.bits[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
         return pd.Series(probe.all(axis=1), index=hex_hashes.index)
 
+    def fill_rate(self) -> float:
+        """Fraction of set bits. Drives the saturation rebuild: estimated
+        false-positive rate is fill**k, and fill > 0.5 means the filter has
+        outgrown the sizing it was built with."""
+        if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+            ones = int(np.bitwise_count(self.bits).sum())
+        else:  # pragma: no cover
+            ones = int(np.unpackbits(self.bits).sum())
+        return ones / self.n_bits
+
     # -- distributed build / merge ------------------------------------------
     def merge_inplace(self, other: "BloomFilter") -> None:
         assert other.n_bits == self.n_bits and other.k == self.k

@@ -11,10 +11,10 @@ whole family is cross-engine hash-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["derive_link_graph", "pagerank"]
+__all__ = ["derive_link_graph", "pagerank", "anchor_text_aggregate"]
 
 
 def derive_link_graph(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -35,6 +35,55 @@ def derive_link_graph(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .select("src", ((F.col("src") * 31 + F.col("k")) % F.col("n_docs")).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
+    )
+
+
+def anchor_text_aggregate(
+    links: DataFrame,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    top_m: int = 3,
+) -> DataFrame:
+    """Inlink anchor-text aggregation — the classic link-text relevance
+    signal (what other pages *call* a page), the field both crawl
+    prioritization and BM25F-style ranking consume. The reference's
+    scraper extracts hrefs only and throws the anchor text away
+    (reference scraper.py:255-273); a production pipeline aggregates it
+    per target.
+
+    Input: an edge list ``(dst_col, anchor_col)`` — one row per inlink
+    with its (possibly empty) anchor string. Output one row per
+    (target doc, top-m anchor term): ``(doc_id, n_inlinks, term,
+    term_count, term_rank)``, terms ranked by count desc then term asc.
+
+    Plan shape at corpus scale: anchors tokenize scan-side (JVM split +
+    explode, no Python), term counts are one hash aggregation with
+    map-side partial combine keyed on (dst, term) — the celebrity-page
+    in-degree skew is absorbed by the combiner exactly like PageRank's
+    contribution sum — and the top-m cut is a window over the already
+    tiny per-target term dim. The inlink count reuses the edge scan."""
+    toks = (
+        links.select(
+            F.col(dst_col).alias("doc_id"),
+            F.explode(F.split(F.col(anchor_col), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    counts = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("term_count")
+    )
+    inlinks = links.groupBy(F.col(dst_col).alias("doc_id")).agg(
+        F.count("*").alias("n_inlinks")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("term_count"), F.asc("term")
+    )
+    top = (
+        counts.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= top_m)
+    )
+    return top.join(inlinks, "doc_id").select(
+        "doc_id", "n_inlinks", "term", "term_count", "term_rank"
     )
 
 

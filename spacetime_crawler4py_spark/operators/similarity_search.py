@@ -479,6 +479,8 @@ def kmeans_centroids(
     vec_col: str,
     k: int = 16,
     iters: int = 5,
+    init: str = "hash",
+    floor_updates: bool = False,
 ) -> DataFrame:
     """Train an IVF coarse quantizer: spherical k-means (cosine
     assignment, mean update) in plain DataFrame ops. Returns (cid, cv).
@@ -495,22 +497,35 @@ def kmeans_centroids(
       collected and re-broadcast — k*dim doubles per iteration, the same
       driver traffic any cluster k-means implementation carries.
 
-    Deterministic init: the k corpus vectors with the smallest
-    xxhash64(id) — corpus-order-independent and seedable by the id space.
-    Mean updates sum floats in partition order, so centroid bits can
-    differ between runs on different partitionings (inherent to parallel
-    k-means); downstream IVF assignment ties are broken by cid, and the
-    quantizer is gated by the monotone-inertia property test rather than
-    a cross-engine hash. Empty cells keep their previous centroid."""
+    Deterministic init: ``init="hash"`` takes the k corpus vectors with
+    the smallest xxhash64(id) — corpus-order-independent and seedable by
+    the id space; ``init="minid"`` takes the k smallest ids, the variant
+    an ANSI-SQL oracle can replay (ORDER BY id LIMIT k).
+
+    Determinism of the updates: with float inputs, mean updates sum in
+    partition order, so centroid bits can differ between runs on
+    different partitionings (inherent to parallel k-means) — that default
+    path is gated by the monotone-inertia property test rather than a
+    cross-engine hash. ``floor_updates=True`` is the fixed-point Lloyd
+    variant for integer-valued-double inputs (e.g. floor(x*1000)
+    quantized embeddings): every partial sum is exact integer arithmetic
+    in fp64 (order-independent), the mean is one IEEE division, and the
+    centroid is floored back to integer values — bit-identical across
+    partitionings AND across engines, which is what makes the
+    ``ann_ivf_trained`` contract query hashable against DuckDB. Empty
+    cells keep their previous centroid on every path."""
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    init = (
-        base.withColumn("h", F.xxhash64("id"))
-        .orderBy("h", "id")
-        .limit(k)
-        .select("v")
-        .collect()
-    )
-    cents = [[float(x) for x in r["v"]] for r in init]
+    if init == "minid":
+        seed_rows = base.orderBy("id").limit(k).select("v").collect()
+    else:
+        seed_rows = (
+            base.withColumn("h", F.xxhash64("id"))
+            .orderBy("h", "id")
+            .limit(k)
+            .select("v")
+            .collect()
+        )
+    cents = [[float(x) for x in r["v"]] for r in seed_rows]
 
     def cent_df():
         rows = [(i, cents[i]) for i in range(len(cents))]
@@ -532,10 +547,14 @@ def kmeans_centroids(
                 ).alias("cell")
             )
         )
+        mean_col = (
+            F.floor(F.avg("x")).cast("double") if floor_updates
+            else F.avg("x")
+        )
         means = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_col.alias("m"))
             .groupBy("cell")
             .agg(
                 F.array_sort(

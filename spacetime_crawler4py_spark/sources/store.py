@@ -162,6 +162,56 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(base_dir)
         return self._commit(name, [base_dir])
 
+    def compact_tail(
+        self,
+        name: str,
+        ratio: float = 2.0,
+        min_merge: int = 2,
+        sort_by: list[str] | None = None,
+    ) -> int | None:
+        """Tiered (size-ratio) compaction for append-heavy tables: merge the
+        maximal *suffix* of manifest paths that is not dwarfed by the path
+        before it (extend the merge window leftward while the preceding
+        path's bytes <= ``ratio`` x the accumulated suffix bytes). Path
+        sizes then stay geometric from the tail backwards, so read fan-in
+        is O(log n) deltas and each row is rewritten O(log n) times over
+        the table's lifetime — vs compact()'s full rewrite, whose repeated
+        use is O(n^2) I/O on a long crawl (SURVEY §2.9b). Returns the new
+        manifest version, or None when the tail is too small to merge."""
+        manifest = self._load_manifest(name)
+        paths = manifest["paths"]
+        if len(paths) < min_merge:
+            return None
+        sizes = [self._dir_bytes(p) for p in paths]
+        cum = 0
+        j = len(paths)
+        for i in range(len(paths) - 1, -1, -1):
+            if cum > 0 and sizes[i] > ratio * cum:
+                break
+            cum += sizes[i]
+            j = i
+        if len(paths) - j < min_merge:
+            return None
+        df = self.spark.read.parquet(*paths[j:])
+        if sort_by:
+            df = df.sort(*sort_by)
+        merged_dir = os.path.join(
+            self._tdir(name), f"tier-{manifest['version'] + 1:06d}"
+        )
+        df.write.mode("overwrite").parquet(merged_dir)
+        return self._commit(name, paths[:j] + [merged_dir])
+
+    @staticmethod
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
     def read(self, name: str, version: int | None = None) -> "DataFrame":
         manifest = self._load_manifest(name, version)
         if not manifest["paths"]:

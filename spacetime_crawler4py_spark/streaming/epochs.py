@@ -373,6 +373,22 @@ class CrawlEngine:
             frontier = self.store.read_or_none("frontier")
             if frontier is not None:
                 self.store.append("seen", frontier.select("url_hash"))
+        elif self.store.exists("frontier"):
+            # crash-window repair (SURVEY §2.9a): every writer — the relaxed
+            # epoch, the exact round, seed() — commits its frontier delta
+            # BEFORE the matching seen append, so a crash in between leaves
+            # exactly the LAST frontier delta unmirrored in the seen set.
+            # Without this backfill the replayed epoch re-inserts that
+            # delta's URLs as duplicate frontier rows (each fetched twice
+            # and burning a politeness slot). The anti-join is delta-sized;
+            # after a compaction crash the last path is a full base, which
+            # still repairs correctly, just at base cost — resume-only.
+            last = self.store.read_last_delta("frontier").select("url_hash")
+            missing = last.join(
+                self.store.read("seen"), "url_hash", "left_anti"
+            ).distinct()
+            if not missing.isEmpty():
+                self.store.append("seen", missing)
         if self.cfg.use_bloom:
             seen = self.store.read_or_none("seen")
             if seen is not None:
@@ -383,6 +399,39 @@ class CrawlEngine:
             else:
                 self._bloom = BloomFilter.sized_for(1 << 16)
 
+    @staticmethod
+    def _merged_watermark_dim(
+        wm: DataFrame | None,
+        adds: DataFrame | None = None,
+        enq: DataFrame | None = None,
+    ) -> DataFrame:
+        """THE watermark advance, in one place (it used to exist in three
+        near-identical copies — resume sync, seeding, epoch commit):
+        full-outer-merge the old dim with optional served increments
+        ``(domain, _add)`` and enqueue maxima ``(domain, _dmax)``;
+        served' = served + _add, enqueued' = max(enqueued, _dmax). Any
+        input may be None; at least one must not be."""
+        merged = None
+        for d in (wm, adds, enq):
+            if d is not None:
+                merged = (
+                    d if merged is None
+                    else merged.join(d, "domain", "full_outer")
+                )
+        cols = set(merged.columns)
+
+        def _c(name):
+            return (
+                F.coalesce(F.col(name), F.lit(0)) if name in cols else F.lit(0)
+            )
+
+        return merged.select(
+            "domain",
+            (_c("served") + _c("_add")).cast("bigint").alias("served"),
+            F.greatest(_c("enqueued"), _c("_dmax")).cast("bigint")
+            .alias("enqueued"),
+        )
+
     def _sync_watermarks_store(self, frontier: DataFrame | None) -> None:
         """Store-mode resume: the same crash-window repair as the driver
         path, done distributively — enqueued := max(enqueued, per-domain
@@ -391,24 +440,10 @@ class CrawlEngine:
         O(1) served upper bound used for dequeue scan pruning."""
         wm = self.store.read_or_none("watermarks")
         if frontier is not None:
-            fmax = frontier.groupBy("domain").agg(F.max("seq").alias("_fmax"))
-            if wm is None:
-                merged = fmax.select(
-                    "domain",
-                    F.lit(0).cast("bigint").alias("served"),
-                    F.col("_fmax").cast("bigint").alias("enqueued"),
-                )
-            else:
-                merged = wm.join(fmax, "domain", "full_outer").select(
-                    "domain",
-                    F.coalesce("served", F.lit(0)).cast("bigint")
-                    .alias("served"),
-                    F.greatest(
-                        F.coalesce("enqueued", F.lit(0)),
-                        F.coalesce("_fmax", F.lit(0)),
-                    ).cast("bigint").alias("enqueued"),
-                )
-            self.store.compact("watermarks", merged)
+            fmax = frontier.groupBy("domain").agg(F.max("seq").alias("_dmax"))
+            self.store.compact(
+                "watermarks", self._merged_watermark_dim(wm, enq=fmax)
+            )
             wm = self.store.read("watermarks")
         if wm is not None:
             row = wm.agg(F.max("served").alias("m")).collect()[0]
@@ -430,26 +465,12 @@ class CrawlEngine:
         """Fold a small {domain: max assigned seq} map (seeding) into the
         store-mode watermark table."""
         inc = self.spark.createDataFrame(
-            list(maxima.items()), "domain string, enqueued bigint"
+            list(maxima.items()), "domain string, _dmax bigint"
         )
         wm = self.store.read_or_none("watermarks")
-        if wm is None:
-            merged = inc.select(
-                "domain", F.lit(0).cast("bigint").alias("served"), "enqueued"
-            )
-        else:
-            merged = wm.join(
-                inc.withColumnRenamed("enqueued", "_inc"), "domain",
-                "full_outer",
-            ).select(
-                "domain",
-                F.coalesce("served", F.lit(0)).cast("bigint").alias("served"),
-                F.greatest(
-                    F.coalesce("enqueued", F.lit(0)),
-                    F.coalesce("_inc", F.lit(0)),
-                ).cast("bigint").alias("enqueued"),
-            )
-        self.store.compact("watermarks", merged)
+        self.store.compact(
+            "watermarks", self._merged_watermark_dim(wm, enq=inc)
+        )
 
     def seed(self, urls: list[str]) -> None:
         """Insert seed URLs (reference frontier.py:38-40); idempotent via
@@ -1034,26 +1055,10 @@ class CrawlEngine:
             delta_max = delta.groupBy("domain").agg(
                 F.max("seq").alias("_dmax")
             )
-            inc = adds_df.join(delta_max, "domain", "full_outer")
-            if wm_old is not None:
-                inc = wm_old.join(inc, "domain", "full_outer")
-            else:
-                inc = inc.select(
-                    "domain",
-                    F.lit(None).cast("bigint").alias("served"),
-                    F.lit(None).cast("bigint").alias("enqueued"),
-                    "_add", "_dmax",
-                )
-            merged = inc.select(
-                "domain",
-                (F.coalesce("served", F.lit(0)) + F.coalesce("_add", F.lit(0)))
-                .cast("bigint").alias("served"),
-                F.greatest(
-                    F.coalesce("enqueued", F.lit(0)),
-                    F.coalesce("_dmax", F.lit(0)),
-                ).cast("bigint").alias("enqueued"),
+            self.store.compact(
+                "watermarks",
+                self._merged_watermark_dim(wm_old, adds_df, delta_max),
             )
-            self.store.compact("watermarks", merged)
             self._max_served_bound += tokens
             adds_df.unpersist()
         else:
@@ -1167,16 +1172,44 @@ class CrawlEngine:
             rounds += 1
             if self.cfg.compact_every and rounds % self.cfg.compact_every == 0:
                 # bound manifest fan-in for the append-heavy state tables
-                # (≙ Iceberg table compaction)
+                # (≙ Iceberg table compaction). The frontier gets a full
+                # rewrite because the point is to DROP its served prefix;
+                # every other table gets the tiered tail merge — per-epoch
+                # read fan-in stays O(log epochs) and total rewrite I/O
+                # O(n log n), where full rewrites would be O(n^2) over a
+                # long crawl (fingerprints + documents are re-read every
+                # epoch; this closes SURVEY §2.9b).
                 if self.cfg.ordering == "relaxed":
                     self._compact_frontier_drop_served()
-                    tables = ("seen", "completions")
                 else:
-                    tables = ("frontier", "seen", "completions")
-                for table in tables:
+                    if self.store.exists("frontier"):
+                        self.store.compact("frontier", sort_by=["seq"])
+                for table in (
+                    "seen", "completions", "fingerprints", "documents",
+                    "fetch_log", "metrics",
+                ):
                     if self.store.exists(table):
-                        self.store.compact(table)
+                        self.store.compact_tail(table)
+                self._maybe_rebuild_bloom()
         return self.summary()
+
+    def _maybe_rebuild_bloom(self) -> None:
+        """Fill-rate-triggered prefilter rebuild (SURVEY §2.9c): the Bloom
+        shape is sized at resume, and a seen set grown far past that sizing
+        saturates the filter — still correct (advisory-only), but every
+        probe degrades to the anti-join. At compaction points, if the fill
+        rate passed the 0.6 design ceiling (optimal is 0.5 at design load),
+        rebuild from the seen table at 2x the current cardinality so
+        rebuilds stay geometric — O(n) work per doubling, amortized O(1)
+        per inserted URL."""
+        if self._bloom is None or self._bloom.fill_rate() <= 0.6:
+            return
+        seen = self.store.read_or_none("seen")
+        if seen is None:
+            return
+        self._bloom = BloomFilter.build_from_df(
+            seen, "url_hash", max(2 * seen.count(), 1024)
+        )
 
     def _compact_frontier_drop_served(self) -> None:
         """Relaxed-mode frontier compaction: rewrite the table without its

@@ -502,3 +502,31 @@ def test_simhash_native_scheme_preserves_string_ids(spark):
         for r in simhash_pairs(docs, "url", "text", 8, scheme="python").collect()
     }
     assert a == b
+
+
+def test_ivf_trained_recall_and_determinism(emb):
+    """The trained-quantizer contract path (q_ann_ivf_trained): fixed-point
+    Lloyd updates must be partitioning-independent (bit-identical centroids
+    from a 1-partition and a 32-partition run of the same corpus), and the
+    trained index must clear the same recall@10 >= 0.9 bar as the sampled
+    one at its contract config (k=16 cells, n_probe=8 — measured sweep:
+    (8,5)=0.87 (8,6)=0.94 (16,8)=0.915 (16,10)=0.96)."""
+    cfg = dict(k=16, iters=2, init="minid", floor_updates=True)
+    c_a = kmeans_centroids(emb.coalesce(1), "vec_id", "v", **cfg)
+    c_b = kmeans_centroids(emb.repartition(32), "vec_id", "v", **cfg)
+    rows_a = {r.cid: list(r.cv) for r in c_a.collect()}
+    rows_b = {r.cid: list(r.cv) for r in c_b.collect()}
+    assert rows_a == rows_b, "floor-updated Lloyd is partitioning-dependent"
+    # every centroid is integer-valued (the fixed-point invariant)
+    assert all(x == float(int(x)) for cv in rows_a.values() for x in cv)
+
+    cents = c_a.select(F.col("cid").alias("vec_id"), F.col("cv").alias("v"))
+    probes = emb.where(F.col("vec_id") < 20)
+    truth = brute_force_topk(emb, probes, "vec_id", "v", k=10)
+    ann = ivf_topk(
+        emb, probes, "vec_id", "v", centroids=cents, n_probe=8, k=10
+    )
+    t = {(r.probe_id, r.neighbor_id) for r in truth.collect()}
+    a = {(r.probe_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(t & a) / len(t)
+    assert recall >= 0.9, f"trained-IVF recall@10 too low: {recall:.2f}"
