@@ -660,6 +660,38 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(nodes, derive_link_graph(docs), iters=5)
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inlink anchor-text aggregation (operators/linkgraph.
+    anchor_text_aggregate): the link graph is the same deterministic
+    doc i -> (i*31+k) % N derivation PageRank uses, and edge k carries
+    tokens [k, k+2] of the SOURCE document as its anchor string — so both
+    engines derive identical anchors with list arithmetic only. Output:
+    per-target top-3 anchor terms with inlink counts."""
+    from spacetime_crawler4py_spark.operators.linkgraph import (
+        anchor_text_aggregate,
+    )
+
+    docs = _docs_tokens(spark, sf_dir)
+    n = F.broadcast(docs.agg(F.count("*").alias("n_docs")))
+    edges = (
+        docs.select(F.col("doc_id").cast("long").alias("src"), "tokens")
+        .crossJoin(n)
+        .select(
+            "src", "tokens",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+            "n_docs",
+        )
+        .select(
+            "src",
+            ((F.col("src") * 31 + F.col("k")) % F.col("n_docs")).alias("dst"),
+            F.array_join(F.slice("tokens", F.col("k"), F.lit(3)), " ")
+            .alias("anchor"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return anchor_text_aggregate(edges, "dst", "anchor", top_m=3)
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval for a fixed term bag, top-20 by floored
     milli-score (ordering uses the floored integer, never the raw float,
@@ -1374,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_window_rollup": q_range_window_rollup,
         # link-graph / retrieval analytics
         "pagerank": q_pagerank,
+        "anchor_text": q_anchor_text,
         "bm25_search": q_bm25_search,
         # similarity search
         "embedding_topk": q_embedding_topk,
@@ -1771,6 +1804,36 @@ def oracle_sql() -> dict[str, str]:
             FROM scored s LEFT JOIN surv USING (component_id)
         """,
         "pagerank": _pagerank_sql(5),
+        "anchor_text": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS BIGINT) AS src, {_SQL_TOKENS} AS tokens
+              FROM documents
+            ),
+            n AS (SELECT count(*) AS n_docs FROM t),
+            e AS (
+              SELECT src, (src * 31 + k) % n_docs AS dst,
+                     array_to_string(tokens[k : k + 2], ' ') AS anchor
+              FROM t, n, (SELECT unnest([1, 2, 3]) AS k) ks
+              WHERE src != (src * 31 + k) % n_docs
+            ),
+            inl AS (SELECT dst AS doc_id, count(*) AS n_inlinks FROM e GROUP BY 1),
+            tok AS (
+              SELECT dst AS doc_id, unnest(string_split(anchor, ' ')) AS term
+              FROM e
+            ),
+            cnt AS (
+              SELECT doc_id, term, count(*) AS term_count
+              FROM tok WHERE term != '' GROUP BY 1, 2
+            ),
+            rk AS (
+              SELECT doc_id, term, term_count,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY term_count DESC, term ASC) AS term_rank
+              FROM cnt
+            )
+            SELECT r.doc_id, i.n_inlinks, r.term, r.term_count, r.term_rank
+            FROM rk r JOIN inl i USING (doc_id) WHERE term_rank <= 3
+        """,
         "bm25_search": f"""
             WITH t AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,

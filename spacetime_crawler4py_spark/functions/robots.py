@@ -47,6 +47,8 @@ __all__ = [
     "parse_sitemap_directives",
     "sitemap_urls_from_robots",
     "build_robots_rules",
+    "build_robots_rules_df",
+    "robots_gate_join",
     "robots_allows",
     "rule_pattern_regex",
 ]
@@ -103,18 +105,9 @@ def _split_rule(rule: str) -> tuple[bool, str]:
     return False, rule
 
 
-def robots_allows(robots: dict[str, list[str]] | None, url: str) -> bool:
-    """RFC 9309 §2.2.2 evaluation of the host's rule list for ``url``.
-
-    Longest matching pattern wins; Allow wins ties; no match -> allowed.
-    A missing host or empty rules dict -> allowed (the reference fetches
-    everything its cache server hands back; the gate is additive)."""
-    if not robots:
-        return True
-    rules = robots.get(urlparse(url).netloc)
-    if not rules:
-        return True
-    path = _probe_path(url)
+def _eval_rules(rules, path: str) -> bool:
+    """RFC 9309 §2.2.2 core: longest matching pattern wins; Allow wins
+    ties; no match -> allowed."""
     best_len = -1
     best_allow = True
     for rule in rules:
@@ -126,6 +119,20 @@ def robots_allows(robots: dict[str, list[str]] | None, url: str) -> bool:
             best_len = plen
             best_allow = allow
     return best_allow if best_len >= 0 else True
+
+
+def robots_allows(robots: dict[str, list[str]] | None, url: str) -> bool:
+    """RFC 9309 §2.2.2 evaluation of the host's rule list for ``url``.
+
+    Longest matching pattern wins; Allow wins ties; no match -> allowed.
+    A missing host or empty rules dict -> allowed (the reference fetches
+    everything its cache server hands back; the gate is additive)."""
+    if not robots:
+        return True
+    rules = robots.get(urlparse(url).netloc)
+    if not rules:
+        return True
+    return _eval_rules(rules, _probe_path(url))
 
 
 def parse_robots_txt(content: str, agent: str = "*") -> list[str]:
@@ -219,6 +226,96 @@ def build_robots_rules(
         stage, schema="host string, rules array<string>"
     )
     return {r.host: list(r.rules) for r in parsed.collect()}
+
+
+def build_robots_rules_df(
+    robots_pages: DataFrame,
+    host_col: str = "host",
+    payload_col: str = "payload",
+    agent: str = "*",
+) -> DataFrame:
+    """The host-scale twin of :func:`build_robots_rules`: the parsed
+    ``(host, rules)`` dim stays a DataFrame — never collected — for
+    crawls with 10^7+ hosts where the broadcast dict would not fit the
+    driver (same escape hatch the watermark dim got). Feed the result to
+    :func:`robots_gate_join`."""
+    import pandas as pd
+
+    def stage(batches):
+        for pdf in batches:
+            hosts, rules_out = [], []
+            for row in pdf.itertuples(index=False):
+                payload = getattr(row, payload_col)
+                if payload is None:
+                    continue
+                if isinstance(payload, (bytes, bytearray)):
+                    text = bytes(payload).decode("utf-8", errors="replace")
+                else:
+                    text = str(payload)
+                rules = parse_robots_txt(text, agent=agent)
+                if rules:
+                    hosts.append(getattr(row, host_col))
+                    rules_out.append(rules)
+            yield pd.DataFrame(
+                {
+                    "host": pd.Series(hosts, dtype=object),
+                    "rules": pd.Series(rules_out, dtype=object),
+                }
+            )
+
+    return robots_pages.select(host_col, payload_col).mapInPandas(
+        stage, schema="host string, rules array<string>"
+    )
+
+
+# netloc per urllib.parse: everything between '://' and the first
+# /?# — including userinfo and port, matching robots_allows' probe key
+_NETLOC_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+
+
+def robots_gate_join(
+    links: DataFrame, rules_df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Distributed robots gate: filter ``links`` to the RFC-9309-allowed
+    rows by JOINING the ``(host, rules)`` dim from
+    :func:`build_robots_rules_df` instead of probing a broadcast driver
+    dict — O(hosts) never touches the driver.
+
+    Plan shape: netloc extraction is a scan-level regex; the join keys
+    both sides on host (AQE picks broadcast while the dim is small and
+    falls back to a shuffle join at 10^7+ hosts, with skew-join splitting
+    absorbing a hot host); rule evaluation runs Arrow-batched on the
+    joined rows only — links whose host published no rules skip Python
+    entirely via the rules-NULL fast path. The gate is additive: no
+    rules row -> allowed, exactly like the dict path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def allowed(rules, urls):
+        out = []
+        for r, u in zip(rules, urls):
+            if r is None or len(r) == 0:
+                out.append(True)
+                continue
+            out.append(_eval_rules(list(r), _probe_path(u)))
+        return pd.Series(out)
+
+    joined = links.withColumn(
+        "_host", F.regexp_extract(F.col(url_col), _NETLOC_RE, 1)
+    ).join(
+        rules_df.select(F.col("host").alias("_host"), F.col("rules").alias("_rules")),
+        "_host",
+        "left",
+    )
+    return (
+        joined.where(
+            F.col("_rules").isNull() | allowed("_rules", F.col(url_col))
+        )
+        .drop("_host", "_rules")
+    )
 
 
 def parse_sitemap_directives(content: str) -> list[str]:

@@ -214,16 +214,38 @@ class CrawlEngine:
         web_df: DataFrame | None,
         config: EngineConfig | None = None,
         fetcher=None,
+        robots_df: DataFrame | None = None,
     ):
         """``web_df`` is the synthetic fetch-oracle table
         (url, status, final_url, content_type, payload, domain), joined
         before parse. Alternatively ``fetcher`` (url -> (status, ctype,
         payload, final_url)) fetches *inside* the fused mapInPandas stage —
-        the shape real HTTP fetching takes on a cluster."""
+        the shape real HTTP fetching takes on a cluster.
+
+        ``robots_df`` is the host-scale robots gate: a ``(host, rules)``
+        DataFrame from functions.robots.build_robots_rules_df, applied as
+        a distributed join on the epoch's candidate links instead of the
+        ``config.robots`` broadcast dict probed inside the parse stage.
+        Use for crawls with 10^7+ hosts, where O(hosts) rules must never
+        reach the driver — the same escape hatch watermark_dim="store"
+        gives the politeness dim. Relaxed ordering only; mutually
+        exclusive with ``config.robots``."""
         self.spark = spark
         self.store = store
         self.web_df = web_df
         self.cfg = config or EngineConfig()
+        self._robots_df = robots_df
+        if robots_df is not None:
+            if self.cfg.robots:
+                raise ValueError(
+                    "pass either config.robots (broadcast dict) or "
+                    "robots_df (join dim), not both"
+                )
+            if self.cfg.ordering != "relaxed":
+                raise ValueError(
+                    "robots_df requires ordering='relaxed' (the exact "
+                    "parity mode gates links inside its driver loop)"
+                )
         if self.cfg.watermark_dim not in ("driver", "store"):
             raise ValueError(
                 f"watermark_dim must be 'driver' or 'store', "
@@ -867,6 +889,14 @@ class CrawlEngine:
             )
             .select("url_hash", "_w.*")
         )
+        if self._robots_df is not None:
+            # host-scale robots gate: filter AFTER first-occurrence dedup
+            # (one evaluation per distinct URL, not per discovery) and
+            # BEFORE the seen probe. Identical final frontier to the
+            # in-parse dict gate — the gate is a per-URL pure predicate.
+            from ..functions.robots import robots_gate_join
+
+            firsts = robots_gate_join(firsts, self._robots_df, url_col="url")
         frontier_hashes = self.store.read("seen")
         flagged = None
         if self._bloom is not None:

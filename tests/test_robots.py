@@ -274,3 +274,118 @@ def test_build_rules_from_dataframe(spark):
     assert robots_allows(rules, "https://e.example.org/pub/x") is True
     assert robots_allows(rules, "https://e.example.org/other") is False
     assert robots_allows(rules, "https://e.example.org/pub/a.zip") is False
+
+
+def test_join_gate_matches_dict_gate_crawl(spark, tmp_path):
+    """robots_df join mode (the 10^7-host path: rules never reach the
+    driver) must produce the identical crawl to the broadcast-dict gate
+    on the same web + rules."""
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4py_spark.functions.robots import (
+        build_robots_rules_df,
+    )
+    from spacetime_crawler4py_spark.sources.store import SnapshotStore
+    from spacetime_crawler4py_spark.streaming.epochs import (
+        CrawlEngine, EngineConfig,
+    )
+
+    host = "gatejoin.ics.uci.edu"
+    page = (
+        b"<html><body>"
+        b'<a href="/about/team">t</a> <a href="/private/secrets">s</a> '
+        b'<a href="/private/pub/ok">ok</a> '
+        + b"word " * 20 + b"</body></html>"
+    )
+    sub = b"<html><body>about page " + b"filler " * 25 + b"</body></html>"
+    rows = [
+        (f"https://{host}/robots.txt", 200, f"https://{host}/robots.txt",
+         "text/plain",
+         b"User-agent: *\nDisallow: /private\nAllow: /private/pub/\n", host),
+        (f"https://{host}", 200, f"https://{host}", "text/html", page, host),
+        (f"https://{host}/about/team", 200, f"https://{host}/about/team",
+         "text/html", sub, host),
+        (f"https://{host}/private/secrets", 200,
+         f"https://{host}/private/secrets", "text/html", sub, host),
+        (f"https://{host}/private/pub/ok", 200,
+         f"https://{host}/private/pub/ok", "text/html", sub, host),
+    ]
+    web_df = spark.createDataFrame(
+        rows,
+        "url string, status int, final_url string, content_type string, "
+        "payload binary, domain string",
+    )
+    robots_pages = web_df.where(F.col("url").endswith("/robots.txt")).select(
+        F.col("domain").alias("host"), "payload"
+    )
+
+    results = {}
+    for mode in ("dict", "join"):
+        store = SnapshotStore(spark, str(tmp_path / f"gate-{mode}"))
+        if mode == "dict":
+            eng = CrawlEngine(
+                spark, store, web_df,
+                EngineConfig(ordering="relaxed", neardup="off",
+                             robots=build_robots_rules(robots_pages)),
+            )
+        else:
+            eng = CrawlEngine(
+                spark, store, web_df,
+                EngineConfig(ordering="relaxed", neardup="off"),
+                robots_df=build_robots_rules_df(robots_pages),
+            )
+        eng.seed([f"https://{host}"])
+        eng.run()
+        results[mode] = {r.url for r in store.read("frontier").collect()}
+    assert results["dict"] == results["join"]
+    assert f"https://{host}/private/pub/ok" in results["join"]
+    assert f"https://{host}/private/secrets" not in results["join"]
+
+    # guard rails: mutually exclusive with the dict; relaxed-only
+    import pytest as _pytest
+
+    rdf = build_robots_rules_df(robots_pages)
+    with _pytest.raises(ValueError, match="not both"):
+        CrawlEngine(
+            spark, SnapshotStore(spark, str(tmp_path / "g1")), web_df,
+            EngineConfig(ordering="relaxed", robots={"h": ["-/x"]}),
+            robots_df=rdf,
+        )
+    with _pytest.raises(ValueError, match="relaxed"):
+        CrawlEngine(
+            spark, SnapshotStore(spark, str(tmp_path / "g2")), web_df,
+            EngineConfig(ordering="exact"), robots_df=rdf,
+        )
+
+
+def test_join_gate_100k_hosts_without_driver_dict(spark):
+    """The host-scale contract: 10^5 hosts' rules parsed and applied as a
+    distributed join — the driver never materializes the rules dim."""
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4py_spark.functions.robots import (
+        build_robots_rules_df, robots_gate_join,
+    )
+
+    n = 100_000
+    payload = b"User-agent: *\nDisallow: /private\n"
+    pages = spark.range(n).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example.org")).alias("host"),
+        # even hosts publish a Disallow; odd hosts publish nothing usable
+        F.when(F.col("id") % 2 == 0, F.lit(payload)).alias("payload"),
+    )
+    rules_df = build_robots_rules_df(pages)
+    links = spark.range(n).select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("https://h"), F.col("id"),
+                         F.lit(".example.org/private/x")),
+                F.concat(F.lit("https://h"), F.col("id"),
+                         F.lit(".example.org/pub/y")),
+            )
+        ).alias("url")
+    )
+    kept = robots_gate_join(links, rules_df, url_col="url")
+    # even hosts lose /private (n/2 rows); everything else passes
+    assert kept.count() == 2 * n - n // 2
+    assert kept.where(F.col("url").contains("/private/")).count() == n // 2

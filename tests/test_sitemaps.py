@@ -206,3 +206,47 @@ def test_sitemap_directive_with_internal_space_twins_agree(spark):
     assert parse_sitemap_directives(content) == want
     df = spark.createDataFrame([("x", content)], "host string, content string")
     assert [r.sitemap_url for r in sitemap_urls_from_robots(df).collect()] == want
+
+
+def test_gzip_payload_decode_matches_plain(spark):
+    """A gzipped sitemap body must parse to the exact entries its plain
+    twin parses to; corrupt gzip decodes to no entries instead of
+    failing the batch; plain binary passes through untouched."""
+    import gzip
+
+    from spacetime_crawler4py_spark.sources.sitemaps import (
+        decode_sitemap_payloads,
+    )
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://g.example.com/a?x=1&amp;y=2</loc>"
+        "<lastmod>2024-02-01</lastmod><priority>0.8</priority></url>"
+        "<url><loc>https://g.example.com/b</loc></url>"
+        "</urlset>"
+    )
+    rows = [
+        ("gz.example.com", bytearray(gzip.compress(xml.encode()))),
+        ("plain.example.com", bytearray(xml.encode())),
+        ("bad.example.com", bytearray(b"\x1f\x8b\x08corrupt")),
+    ]
+    decoded = decode_sitemap_payloads(
+        spark.createDataFrame(rows, "host string, payload binary")
+    )
+    got = {
+        (r.host, r.loc, r.lastmod, r.priority_milli)
+        for r in parse_sitemap_entries(decoded).collect()
+    }
+    want_entries = {
+        ("https://g.example.com/a?x=1&y=2", "2024-02-01", 800),
+        ("https://g.example.com/b", None, 500),
+    }
+    assert got == {
+        (h, loc, lm, pm)
+        for h in ("gz.example.com", "plain.example.com")
+        for (loc, lm, pm) in want_entries
+    }
+    # differential: same loc set as xml.etree on the uncompressed text
+    ns_free = ET.fromstring(xml)
+    etree_locs = {u.find("loc").text for u in ns_free.findall("url")}
+    assert {loc for (_h, loc, _lm, _pm) in got} == etree_locs
