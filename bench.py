@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "decontamination",
     "source_quota",
     "pagerank",
+    "anchor_text",
     "bm25_search",
     "embedding_quantize",
     "sequence_packing",
@@ -81,6 +82,7 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_trained",
     "seen_anti_join",
     "first_seen",
     "token_bucket_dequeue",
