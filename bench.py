@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "embedding_quantize",
     "sequence_packing",
+    "doc_chunks",
     "pii_scrub",
     "temperature_mix",
     "sitemap_ingest",

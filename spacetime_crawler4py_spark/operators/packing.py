@@ -39,7 +39,73 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_token_spans", "pack_manifest"]
+__all__ = ["pack_token_spans", "pack_manifest", "chunk_documents"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    window: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Overlapping fixed-window chunking — the long-document split a
+    training pipeline applies BEFORE packing (packing concatenates,
+    chunking subdivides; context-window pretraining and RAG indexing both
+    consume this shape). Chunk i of a doc with n tokens covers token span
+    [i*stride, min(i*stride + window, n)) with stride = window - overlap;
+    the chunk count is 1 for n <= window else 1 + ceil((n - window) /
+    stride), so the final chunk always reaches the document tail and every
+    consecutive pair shares ``overlap`` tokens.
+
+    Output: (doc_id, chunk_idx, start_tok, n_tok, chunk_md5) where
+    chunk_md5 hashes the space-joined token slice — the oracle certifies
+    the actual chunk CONTENT cross-engine (same trick as
+    dup_span_removal's kept_md5), not just the offsets.
+
+    Scale shape: pure scan-level integer arithmetic + one explode — no
+    shuffle, no window, no Python; the chunk fan-out is the only row
+    growth (~n/stride per doc), exactly the output's information
+    content."""
+    if overlap < 0 or overlap >= window:
+        raise ValueError(f"need 0 <= overlap < window, got {overlap}/{window}")
+    stride = window - overlap
+    n = F.size(tokens_col).cast("long")
+    n_chunks = (
+        F.when(n <= window, F.lit(1).cast("long"))
+        .otherwise(1 + F.floor((n - window + stride - 1) / stride))
+        .cast("long")
+    )
+    start = (F.col("chunk_idx") * stride).cast("long")
+    n_tok = F.greatest(
+        F.least(F.lit(window).cast("long"), F.col("_n") - start),
+        F.lit(0).cast("long"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(tokens_col).alias("_toks"),
+            n.alias("_n"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+            .alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            start.alias("start_tok"),
+            n_tok.alias("n_tok"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        "_toks",
+                        (start + 1).cast("int"),
+                        n_tok.cast("int"),
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
 
 
 def pack_token_spans(

@@ -117,3 +117,41 @@ def test_duplicate_ids_get_disjoint_spans(spark):
         for r in pack_token_spans(df, "doc_id", "n", bucket_width=10).collect()
     )
     assert spans == [(0, 100), (100, 200), (200, 300), (300, 400)]
+
+
+def test_chunk_documents_invariants(spark):
+    """Coverage + overlap invariants for every doc length around the
+    window/stride boundaries: chunks tile the doc (first starts at 0,
+    last ends at n, consecutive chunks share exactly `overlap` tokens),
+    and the md5 certifies the slice content."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4py_spark.operators.packing import chunk_documents
+
+    W, O = 8, 3  # stride 5
+    rows = [(n, [f"t{n}w{j}" for j in range(n)]) for n in
+            [0, 1, 7, 8, 9, 12, 13, 14, 40]]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = chunk_documents(df, "doc_id", "tokens", window=W, overlap=O)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    toks = dict(rows)
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert chunks[0].start_tok == 0
+        assert chunks[-1].start_tok + chunks[-1].n_tok == max(n, 0) or n == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_tok - a.start_tok == W - O  # stride
+            assert a.start_tok + a.n_tok - b.start_tok == O or a.n_tok < W
+        for c in chunks:
+            body = " ".join(toks[n][c.start_tok:c.start_tok + c.n_tok])
+            assert c.chunk_md5 == hashlib.md5(body.encode()).hexdigest()
+        if n <= W:
+            assert len(chunks) == 1 and chunks[0].n_tok == n
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "tokens", window=8, overlap=8)
