@@ -1341,6 +1341,29 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (operators/similarity_search.
+    semantic_dedup): the milli-quantized corpus is clustered by the same
+    deterministic fixed-point k-means as ann_ivf_trained (k=8, 2 Lloyd
+    iterations, min-id init), then each vector is dropped iff a
+    smaller-id cluster-mate sits at floored cosine >= 2500 bp (the
+    synthetic embeddings are quasi-random — max pairwise cosine ~0.45 —
+    so the threshold sits in-distribution to exercise a real kept/dropped
+    split). Output: one row per vector with its cluster, keep decision,
+    and min-id witness. The DuckDB oracle replays the trained quantizer
+    via the same unrolled Lloyd CTEs and the keep rule as an EXISTS-style
+    witness aggregation."""
+    from spacetime_crawler4py_spark.operators.similarity_search import (
+        kmeans_centroids, semantic_dedup,
+    )
+
+    emb = _quantized_emb(spark, sf_dir)
+    cents = kmeans_centroids(
+        emb, "vec_id", "v", k=8, iters=2, init="minid", floor_updates=True
+    )
+    return semantic_dedup(_spread(emb), "vec_id", "v", cents, min_cos_bp=2500)
+
+
 def _sql_lloyd_iteration(i: int, dim: int) -> str:
     """One unrolled fixed-point Lloyd step c{i-1} -> c{i} (assignment +
     floored mean update + empty-cell carryover) for the ann_ivf_trained
@@ -1465,6 +1488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": q_revenue_rollup,
         "events_histogram": q_events_histogram,
         "event_windows": q_event_windows,
+        # new late in round 4 — lands in the tail because every head slot
+        # holds a query that has never earned a driver row; rotates into
+        # the head in round 5 once those are attested (check_oracle.py
+        # gates it now)
+        "semdedup": q_semdedup,
     }
 
 
@@ -2391,6 +2419,46 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        "semdedup": f"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> floor(x::DOUBLE * 1000)) AS v
+              FROM embeddings
+            ),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+            ),{_sql_lloyd_iteration(1, 64)},{_sql_lloyd_iteration(2, 64)},
+            asg AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c2.cid AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(e.v, c2.cv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(c2.cv, c2.cv))) DESC,
+                         c2.cid ASC) AS rn
+                FROM e CROSS JOIN c2
+              ) WHERE rn = 1
+            ),
+            pr AS (
+              SELECT a.vec_id,
+                     b.vec_id AS b_id,
+                     CAST(floor(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) * 10000)
+                       AS BIGINT) AS bp
+              FROM asg a JOIN asg b
+                ON a.cell = b.cell AND b.vec_id < a.vec_id
+            ),
+            wit AS (
+              SELECT vec_id, min(b_id) AS dup_of,
+                     CAST(min_by(bp, b_id) AS BIGINT) AS cos_bp
+              FROM pr WHERE bp >= 2500 GROUP BY vec_id
+            )
+            SELECT asg.vec_id, asg.cell,
+                   wit.dup_of IS NULL AS kept, wit.dup_of, wit.cos_bp
+            FROM asg LEFT JOIN wit USING (vec_id)
         """,
         "ann_ivf_trained": f"""
             WITH e AS (

@@ -30,6 +30,7 @@ __all__ = [
     "ivf_topk_indexed",
     "kmeans_centroids",
     "quantize_embeddings_int8",
+    "semantic_dedup",
 ]
 
 
@@ -570,3 +571,75 @@ def kmeans_centroids(
         for r in means:
             cents[r["cell"]] = [float(x) for x in r["cv"]]
     return cent_df().select("cid", "cv")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    min_cos_bp: int = 9000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a trained coarse quantizer,
+    then prune near-identical *meanings* inside each cluster — the
+    embedding-space counterpart of MinHash dedup, standard in LLM data
+    curation (the reference has no embedding surface at all; this extends
+    its dedup family the way ann_* extend its similarity scan).
+
+    Keep rule (one-pass, deterministic): a vector is dropped iff some
+    SMALLER-id cluster-mate has floored basis-point cosine
+    >= ``min_cos_bp``; its witness is the smallest such mate. This is the
+    order-greedy SemDeDup simplification with document id as the priority
+    (the paper ranks by centroid distance); it is monotone — the decision
+    depends only on pairwise cosines, never on other decisions — which is
+    what makes it embarrassingly parallel AND exactly replayable in SQL.
+    Relative to sequential greedy it can over-drop when a dropped vector
+    is another's only witness (both shapes are accepted in production
+    pipelines; the one-pass rule is the scalable one).
+
+    Output: one row per corpus vector — (vec_id, cell, kept, dup_of,
+    cos_bp); dup_of/cos_bp are NULL for kept rows.
+
+    Plan shape at corpus scale: assignment is a broadcast nested-loop
+    against the k centroids + one map-side-combining max_by (the corpus
+    never shuffles); the candidate pairs meet on a cell equi-join, so the
+    pair fan-out is bounded by cluster size (k grows ~sqrt(n) with the
+    corpus, as in the paper, keeping clusters O(sqrt(n))); the witness
+    pick is one min_by aggregation. No Python anywhere. Integer
+    exactness: on milli-quantized integer-valued vectors every dot/norm
+    sum is exact in fp64, so cos_bp — floor after one IEEE divide — is
+    bit-identical across engines and partitionings."""
+    from .dedup import cosine_sim_col
+
+    assigned = _ivf_cell_assignments(emb, centroids, id_col, vec_col)
+    lo = assigned.select(
+        F.col("neighbor_id").alias("b_id"),
+        F.col("nv").alias("bv"),
+        "cell",
+    )
+    pairs = (
+        assigned.join(lo, "cell")
+        .where(F.col("b_id") < F.col("neighbor_id"))
+        .select(
+            "neighbor_id",
+            "b_id",
+            F.floor(cosine_sim_col(F.col("nv"), F.col("bv")) * 10000)
+            .cast("long").alias("bp"),
+        )
+        .where(F.col("bp") >= min_cos_bp)
+    )
+    witness = pairs.groupBy("neighbor_id").agg(
+        F.min("b_id").alias("dup_of"),
+        F.min_by("bp", "b_id").alias("cos_bp"),
+    )
+    return (
+        assigned.join(witness, "neighbor_id", "left")
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+            "cos_bp",
+        )
+    )

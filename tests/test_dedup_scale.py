@@ -530,3 +530,55 @@ def test_ivf_trained_recall_and_determinism(emb):
     a = {(r.probe_id, r.neighbor_id) for r in ann.collect()}
     recall = len(t & a) / len(t)
     assert recall >= 0.9, f"trained-IVF recall@10 too low: {recall:.2f}"
+
+
+def test_semantic_dedup_planted_and_invariance(spark, emb):
+    """semantic_dedup (SemDeDup): planted exact duplicates must be dropped
+    with their original as witness; the keep rule must match a local
+    re-derivation (drop iff some smaller-id cluster-mate >= threshold);
+    and the whole output must be partitioning-invariant."""
+    from spacetime_crawler4py_spark.operators.similarity_search import (
+        semantic_dedup,
+    )
+
+    # plant: vectors 10000+i are exact copies of vectors i (i<5) -> cos=1
+    base = emb.where(F.col("vec_id") < 200)
+    clones = base.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "v"
+    )
+    corpus = base.unionByName(clones)
+    cents = kmeans_centroids(
+        corpus, "vec_id", "v", k=4, iters=2, init="minid", floor_updates=True
+    )
+    out = semantic_dedup(corpus, "vec_id", "v", cents, min_cos_bp=9900)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 205
+    for i in range(5):
+        clone = rows[10000 + i]
+        assert not clone.kept and clone.dup_of == i and clone.cos_bp >= 9900
+        assert rows[i].kept  # originals have no smaller-id twin
+
+    # local re-derivation of the keep rule at an in-distribution threshold
+    import math
+
+    vecs = {r.vec_id: list(r.v) for r in corpus.collect()}
+    cells = {r.vec_id: r.cell for r in semantic_dedup(
+        corpus, "vec_id", "v", cents, min_cos_bp=2500).collect()}
+    out2 = {r.vec_id: r for r in semantic_dedup(
+        corpus.repartition(7), "vec_id", "v", cents, min_cos_bp=2500
+    ).collect()}
+
+    def bp(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return math.floor(
+            dot / (math.sqrt(sum(x * x for x in a))
+                   * math.sqrt(sum(y * y for y in b))) * 10000
+        )
+
+    for vid, r in out2.items():
+        mates = [w for w in vecs if w < vid and cells[w] == cells[vid]
+                 and bp(vecs[w], vecs[vid]) >= 2500]
+        if mates:
+            assert not r.kept and r.dup_of == min(mates)
+        else:
+            assert r.kept and r.dup_of is None and r.cos_bp is None
