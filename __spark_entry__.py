@@ -1364,6 +1364,39 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_spread(emb), "vec_id", "v", cents, min_cos_bp=2500)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (operators/textstats.
+    paragraph_dedup): the synthetic corpus carries no paragraph breaks,
+    so deterministic ones are injected first (paragraphs of 3 + doc_id%3
+    tokens — short enough that ~6% of paragraphs repeat across docs,
+    exercising both keep and drop branches), then every paragraph after
+    its first corpus-order occurrence is removed. kept_md5 certifies the
+    rewritten text cross-engine (the pii_scrub span-injection +
+    dup_span_removal certificate patterns combined)."""
+    from spacetime_crawler4py_spark.operators.textstats import (
+        paragraph_dedup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    k = (F.lit(3) + F.col("doc_id") % 3).cast("int")
+    toks = F.split(F.col("text"), " ")
+    n_groups = F.floor((F.size(toks) + k - 1) / k).cast("int")
+    with_paras = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_groups - 1),
+                lambda g: F.array_join(F.slice(toks, g * k + 1, k), " "),
+            ),
+            "\n\n",
+        ).alias("para_text"),
+    )
+    return paragraph_dedup(with_paras, "doc_id", "para_text", delim="\n\n")
+
+
 def _sql_lloyd_iteration(i: int, dim: int) -> str:
     """One unrolled fixed-point Lloyd step c{i-1} -> c{i} (assignment +
     floored mean update + empty-cell carryover) for the ann_ivf_trained
@@ -1493,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the head in round 5 once those are attested (check_oracle.py
         # gates it now)
         "semdedup": q_semdedup,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -2419,6 +2453,41 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        "paragraph_dedup": """
+            WITH t AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     string_split(text, ' ') AS toks,
+                     3 + CAST(doc_id AS BIGINT) % 3 AS k
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, g AS pos,
+                     array_to_string(toks[(g*k)+1 : (g+1)*k], ' ') AS para
+              FROM t, LATERAL (
+                SELECT unnest(range(0,
+                  CAST(ceil(len(toks)::DOUBLE / k) AS BIGINT))) AS g
+              )
+            ),
+            pp AS (SELECT * FROM p WHERE para != ''),
+            fo AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pos) AS rn
+              FROM pp
+            ),
+            keep AS (SELECT doc_id, pos, para FROM fo WHERE rn = 1),
+            reb AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     md5(string_agg(para, chr(10) || chr(10) ORDER BY pos))
+                       AS kept_md5
+              FROM keep GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_paras FROM pp GROUP BY doc_id)
+            SELECT tot.doc_id, tot.n_paras,
+                   CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+                   reb.kept_md5
+            FROM tot LEFT JOIN reb USING (doc_id)
         """,
         "semdedup": f"""
             WITH e AS (

@@ -30,6 +30,7 @@ __all__ = [
     "dup_span_stats",
     "remove_dup_spans",
     "unigram_logprob",
+    "paragraph_dedup",
     "LANG_MARKERS",
 ]
 
@@ -478,3 +479,70 @@ def fingerprint_col(text: Column) -> Column:
     under whitespace/punctuation/case noise (the role of the reference's
     shingle sketch, utils/similarity.py:36-45, as a single exact hash)."""
     return F.md5(F.concat_ws(" ", report_tokens_col(text)))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n\n",
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph deduplication (Wenzek et al.
+    2020, arXiv:1911.00359): split each document into paragraphs, hash
+    them, and keep only the FIRST occurrence of every paragraph in corpus
+    order (doc_id, then position) — the standard Common-Crawl pass that
+    strips boilerplate (headers, cookie banners, license blurbs) repeated
+    across pages, which doc-level dedup never touches and n-gram span
+    dedup only catches when the block is long enough.
+
+    Output one row per input doc: ``(doc_id, n_paras, n_kept,
+    kept_md5)`` — kept_md5 fingerprints the surviving paragraphs rejoined
+    with the delimiter, so a cross-engine compare certifies the rewritten
+    content, not just the counts (same certificate shape as
+    remove_dup_spans). Empty paragraphs (split artifacts) are dropped
+    before dedup and never counted.
+
+    Plan shape at 100 TB: split + posexplode are scan-level; the
+    first-occurrence dim is ONE hash aggregation keyed on the paragraph
+    — min(struct(doc_id, pos)) combines map-side, so the celebrity
+    boilerplate paragraph (the skew hazard: the same cookie banner on
+    10^8 pages) collapses to one row per map task before the shuffle —
+    joined back on the paragraph key (at real scale the join key would be
+    xxhash64(para): 8-byte shuffle keys; the string key keeps the SQL
+    twin trivial at test scale, exactly as in dup_span_stats). The
+    rebuild is one groupBy(doc) over surviving paragraphs with an
+    order-certifying array_sort. A window over the hash would sort
+    per-partition instead of combining — strictly worse under skew."""
+    paras = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), F.lit(delim)))
+            .alias("pos", "para"),
+        )
+        .where(F.col("para") != "")
+    )
+    first = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    kept = paras.join(first, "para").where(
+        (F.col("doc_id") == F.col("f.doc_id")) & (F.col("pos") == F.col("f.pos"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                delim,
+            )
+        ).alias("kept_md5"),
+    )
+    totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        "kept_md5",
+    )

@@ -75,3 +75,36 @@ def test_consistent_with_dup_span_stats(spark):
     }
     for d, p in ppm.items():
         assert (removed[d] > 0) == (p > 0), (d, removed[d], p)
+
+
+def test_paragraph_dedup_planted_boilerplate(spark):
+    """CCNet paragraph dedup: a boilerplate paragraph repeated across docs
+    survives only at its first corpus-order occurrence; within-doc repeats
+    also collapse; unique paragraphs are untouched; kept_md5 certifies the
+    exact rewritten text."""
+    import hashlib
+
+    from spacetime_crawler4py_spark.operators.textstats import (
+        paragraph_dedup,
+    )
+
+    banner = "accept all cookies"
+    rows = [
+        (1, f"{banner}\n\nalpha beta\n\n{banner}"),      # within-doc repeat
+        (2, f"{banner}\n\ngamma delta"),                 # cross-doc repeat
+        (3, "epsilon zeta\n\n\n\neta theta"),            # empty para artifact
+    ]
+    out = {
+        r.doc_id: r
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (out[1].n_paras, out[1].n_kept) == (3, 2)
+    assert out[1].kept_md5 == md5(f"{banner}\n\nalpha beta")
+    assert (out[2].n_paras, out[2].n_kept) == (2, 1)
+    assert out[2].kept_md5 == md5("gamma delta")
+    assert (out[3].n_paras, out[3].n_kept) == (2, 2)  # empty para not counted
+    assert out[3].kept_md5 == md5("epsilon zeta\n\neta theta")
