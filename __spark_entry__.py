@@ -1397,6 +1397,24 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(with_paras, "doc_id", "para_text", delim="\n\n")
 
 
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global fetch-budget apportionment (operators/recrawl.
+    allocate_crawl_budget): per-source corpus volume (sum of n_chars —
+    the yield signal a steady-state crawl feeds back) becomes each
+    domain's weight, and a 100,000-fetch epoch budget is split by
+    integer largest-remainder apportionment — sum(budget) == 100,000
+    exactly, every comparison on exact integer remainders."""
+    from spacetime_crawler4py_spark.operators.recrawl import (
+        allocate_crawl_budget,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = docs.groupBy(F.col("source").alias("domain")).agg(
+        F.sum("n_chars").cast("long").alias("weight")
+    )
+    return allocate_crawl_budget(weights, 100_000)
+
+
 def _sql_lloyd_iteration(i: int, dim: int) -> str:
     """One unrolled fixed-point Lloyd step c{i-1} -> c{i} (assignment +
     floored mean update + empty-cell carryover) for the ann_ivf_trained
@@ -1527,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates it now)
         "semdedup": q_semdedup,
         "paragraph_dedup": q_paragraph_dedup,
+        "crawl_budget": q_crawl_budget,
     }
 
 
@@ -2453,6 +2472,29 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT probe_id, neighbor_id, cos_bp, rank FROM ranked WHERE rank <= 10
+        """,
+        "crawl_budget": """
+            WITH w AS (
+              SELECT source AS domain, CAST(sum(n_chars) AS BIGINT) AS weight
+              FROM documents GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(weight) AS BIGINT) AS W FROM w),
+            b AS (
+              SELECT domain, weight,
+                     (weight * 100000) // W AS base,
+                     (weight * 100000) % W AS rem
+              FROM w, tot
+            ),
+            r AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+            rk AS (
+              SELECT domain, weight, base, rem,
+                     row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk
+              FROM b
+            )
+            SELECT domain, weight,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS budget
+            FROM rk, r
         """,
         "paragraph_dedup": """
             WITH t AS (

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["recrawl_candidates"]
+__all__ = ["recrawl_candidates", "allocate_crawl_budget"]
 
 
 def recrawl_candidates(
@@ -78,5 +78,74 @@ def recrawl_candidates(
             .otherwise(F.col("priority_milli") + bonus)
             .cast("long")
             .alias("score"),
+        )
+    )
+
+
+def allocate_crawl_budget(
+    weights: DataFrame,
+    total_budget: int,
+    domain_col: str = "domain",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Allocate a global per-epoch fetch budget across domains by
+    largest-remainder (Hamilton) apportionment — the feedback half of a
+    production crawl loop: corpus signals (quality, yield, inlink mass)
+    become per-domain weights, and the scheduler turns them into integer
+    politeness budgets that sum EXACTLY to the epoch's capacity. The
+    reference crawls every domain at one fixed rate; a steady-state
+    crawl spends its fetch capacity where the corpus says it pays.
+
+    Input ``weights``: one row per domain with a non-negative integer
+    weight. Output: ``(domain, weight, budget)`` with
+    sum(budget) == total_budget, each budget within 1 of the exact real
+    quota (the Hamilton guarantee), ties on equal remainders broken by
+    domain asc — fully deterministic.
+
+    All-integer arithmetic: quota = total_budget * weight; base =
+    quota div W; the fractional remainder is compared as the exact
+    integer ``quota mod W`` (never a float division), so the allocation
+    is bit-identical on any engine and partitioning. The leftover
+    ``R = total_budget - sum(base) < n_domains`` seats go to the R
+    largest remainders.
+
+    Plan shape: two 1-row broadcast constants (W and R — the same
+    benign crossJoin pattern the PageRank dangling-mass step uses) and
+    ONE global rank over the per-domain dim. The ranked frame is
+    O(domains) — politeness state, not corpus data — the same cardinality
+    the watermark dim already carries; at 10^8 domains the rank is a
+    single-column sort of an 16-byte row, and budgets below the base
+    never enter the rank at all."""
+    w = weights.select(
+        F.col(domain_col).alias("domain"),
+        F.col(weight_col).cast("long").alias("weight"),
+    )
+    tot = F.broadcast(w.agg(F.sum("weight").alias("_W")))
+    based = (
+        w.crossJoin(tot)
+        .select(
+            "domain",
+            "weight",
+            (F.col("weight") * total_budget).alias("_q"),
+            "_W",
+        )
+        .withColumn("_base", F.expr("_q div _W"))
+        .withColumn("_rem", F.col("_q") % F.col("_W"))
+        .drop("_W")
+    )
+    leftover = F.broadcast(
+        based.agg((F.lit(total_budget) - F.sum("_base")).alias("_R"))
+    )
+    from pyspark.sql import Window
+
+    rk = Window.orderBy(F.desc("_rem"), F.asc("domain"))
+    return (
+        based.crossJoin(leftover)
+        .withColumn("_rk", F.row_number().over(rk))
+        .select(
+            "domain",
+            "weight",
+            (F.col("_base") + (F.col("_rk") <= F.col("_R")).cast("long"))
+            .alias("budget"),
         )
     )

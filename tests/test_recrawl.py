@@ -79,3 +79,41 @@ def test_schedule_is_session_timezone_independent(spark):
         assert out["UTC"] and out["UTC"][0][1] == "changed"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_allocate_crawl_budget_hamilton(spark):
+    """Largest-remainder apportionment: budgets sum exactly to the total,
+    each within 1 of the real-valued quota, remainder ties broken by
+    domain asc, and the result is partitioning-invariant."""
+    from spacetime_crawler4py_spark.operators.recrawl import (
+        allocate_crawl_budget,
+    )
+
+    rows = [("a", 3), ("b", 3), ("c", 3), ("d", 1)]   # W=10, budget=7
+    out = {
+        r.domain: r.budget
+        for r in allocate_crawl_budget(
+            spark.createDataFrame(rows, "domain string, weight long"), 7
+        ).collect()
+    }
+    # quotas: a/b/c = 2.1, d = 0.7 -> bases 2,2,2,0; leftover 1 seat goes
+    # to the largest remainder (d, rem 7) before the tied a/b/c (rem 1)
+    assert out == {"a": 2, "b": 2, "c": 2, "d": 1}
+    assert sum(out.values()) == 7
+
+    # property check on a skewed weight set, two partitionings
+    import math
+
+    rows2 = [(f"d{i:03d}", (i * i) % 97 + 1) for i in range(50)]
+    df2 = spark.createDataFrame(rows2, "domain string, weight long")
+    total = 12345
+    a = {r.domain: r.budget for r in
+         allocate_crawl_budget(df2.coalesce(1), total).collect()}
+    b = {r.domain: r.budget for r in
+         allocate_crawl_budget(df2.repartition(13), total).collect()}
+    assert a == b
+    assert sum(a.values()) == total
+    W = sum(w for _, w in rows2)
+    for d, w in rows2:
+        quota = total * w / W
+        assert math.floor(quota) <= a[d] <= math.ceil(quota)
