@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "dup_spans",
     "dup_span_removal",
+    "paragraph_dedup",
     "unigram_logprob",
     "curation_full",
     "stratified_sample",
@@ -84,9 +85,11 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_ivf",
     "ann_ivf_trained",
+    "semdedup",
     "seen_anti_join",
     "first_seen",
     "token_bucket_dequeue",
+    "crawl_budget",
     "revenue_rollup",
     "asof_latest_order",
     "range_window_rollup",
