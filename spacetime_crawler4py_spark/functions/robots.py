@@ -48,6 +48,8 @@ __all__ = [
     "sitemap_urls_from_robots",
     "build_robots_rules",
     "build_robots_rules_df",
+    "parse_crawl_delay",
+    "build_crawl_delays",
     "robots_gate_join",
     "robots_allows",
     "rule_pattern_regex",
@@ -135,17 +137,15 @@ def robots_allows(robots: dict[str, list[str]] | None, url: str) -> bool:
     return _eval_rules(rules, _probe_path(url))
 
 
-def parse_robots_txt(content: str, agent: str = "*") -> list[str]:
-    """Ordered Allow/Disallow rules applying to ``agent`` ("+"/"-" tags).
-
-    Group selection per RFC 9309: every user-agent line (product token,
-    case-insensitive) opens/extends a group; groups naming the same token
-    are merged; the group whose token is the longest one contained in the
-    agent's product name (the part before '/', lowercased — robotparser's
-    applies_to rule) wins, with ``*`` as the fallback. Empty rule values
-    contribute nothing (an empty Disallow is allow-all per RFC)."""
-    agent_name = agent.split("/")[0].lower()
+def _scan_groups(
+    content: str,
+) -> tuple[dict[str, list[str]], dict[str, float]]:
+    """One pass over a robots.txt: per-token ordered Allow/Disallow rule
+    lists AND per-token Crawl-delay values (last occurrence in a group
+    wins, robotparser-style). Shared by parse_robots_txt and
+    parse_crawl_delay so group semantics can never drift."""
     groups: dict[str, list[str]] = {}
+    delays: dict[str, float] = {}
     current_agents: list[str] = []
     last_was_agent = False
     for raw in content.splitlines():
@@ -170,11 +170,27 @@ def parse_robots_txt(content: str, agent: str = "*") -> list[str]:
             rule = tag + _norm_pattern(val)
             for tok in current_agents:
                 groups.setdefault(tok, []).append(rule)
+        elif key == "crawl-delay":
+            last_was_agent = False
+            if not current_agents or not val:
+                continue
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d >= 0:
+                for tok in current_agents:
+                    delays[tok] = d
         else:
             last_was_agent = False
+    return groups, delays
 
-    if not groups:
-        return []
+
+def _best_group(groups: dict, agent: str) -> str | None:
+    """Group precedence per RFC 9309: the longest token contained in the
+    agent's product name (part before '/', lowercased) wins; '*' is the
+    fallback."""
+    agent_name = agent.split("/")[0].lower()
     best = None
     for tok in groups:
         if tok != "*" and tok in agent_name:
@@ -182,7 +198,79 @@ def parse_robots_txt(content: str, agent: str = "*") -> list[str]:
                 best = tok
     if best is None and "*" in groups:
         best = "*"
+    return best
+
+
+def parse_robots_txt(content: str, agent: str = "*") -> list[str]:
+    """Ordered Allow/Disallow rules applying to ``agent`` ("+"/"-" tags).
+
+    Group selection per RFC 9309: every user-agent line (product token,
+    case-insensitive) opens/extends a group; groups naming the same token
+    are merged; the group whose token is the longest one contained in the
+    agent's product name (the part before '/', lowercased — robotparser's
+    applies_to rule) wins, with ``*`` as the fallback. Empty rule values
+    contribute nothing (an empty Disallow is allow-all per RFC)."""
+    groups, _ = _scan_groups(content)
+    if not groups:
+        return []
+    best = _best_group(groups, agent)
     return list(groups.get(best, []))
+
+
+def parse_crawl_delay(content: str, agent: str = "*") -> float | None:
+    """The ``Crawl-delay:`` value (seconds) applying to ``agent``, or
+    None when the matched group declares none. Not part of RFC 9309 but
+    honored by most large crawlers (and by urllib.robotparser's
+    ``crawl_delay()``, the differential oracle); the reference crawler
+    ignores it entirely and paces every domain at its fixed config
+    delay. Group selection is the same longest-token precedence the rule
+    lists use — a group consisting solely of a Crawl-delay line still
+    counts as a group. Non-numeric or negative values are ignored per
+    robotparser behavior."""
+    groups, delays = _scan_groups(content)
+    if not groups:
+        return None
+    best = _best_group(groups, agent)
+    return delays.get(best)
+
+
+def build_crawl_delays(
+    robots_pages,
+    host_col: str = "host",
+    payload_col: str = "payload",
+    agent: str = "*",
+) -> dict[str, float]:
+    """{host: crawl-delay seconds} from fetched robots.txt payloads — the
+    per-domain politeness dim the engine's wall-clock pacer consumes
+    (EngineConfig.crawl_delays). Driver-sized like build_robots_rules:
+    O(hosts) floats, right for the north-rule scope; a 10^7-host crawl
+    would keep this as a join dim exactly like robots_gate_join."""
+    import pandas as pd
+
+    def stage(batches):
+        for pdf in batches:
+            hosts, ds = [], []
+            for row in pdf.itertuples(index=False):
+                payload = getattr(row, payload_col)
+                if payload is None:
+                    continue
+                if isinstance(payload, (bytes, bytearray)):
+                    text = bytes(payload).decode("utf-8", errors="replace")
+                else:
+                    text = str(payload)
+                d = parse_crawl_delay(text, agent=agent)
+                if d is not None:
+                    hosts.append(getattr(row, host_col))
+                    ds.append(d)
+            yield pd.DataFrame(
+                {"host": pd.Series(hosts, dtype=object),
+                 "delay": pd.Series(ds, dtype="float64")}
+            )
+
+    parsed = robots_pages.select(host_col, payload_col).mapInPandas(
+        stage, schema="host string, delay double"
+    )
+    return {r.host: float(r.delay) for r in parsed.collect()}
 
 
 def build_robots_rules(

@@ -49,6 +49,7 @@ def make_parse_stage(
     fetcher=None,
     compute_sketches: bool = True,
     politeness_delay: float = 0.0,
+    domain_delays: dict[str, float] | None = None,
     clock=None,
 ):
     """Returns a mapInPandas function over rows with columns
@@ -69,13 +70,20 @@ def make_parse_stage(
     wallclock_politeness mode does) — two partitions holding the same
     domain would pace independently. ``clock`` (monotonic()/sleep())
     is injectable for the fake-clock property test; defaults to ``time``.
+    ``domain_delays`` ({domain: seconds}, from robots.txt ``Crawl-delay``
+    via functions.robots.build_crawl_delays) overrides the base delay
+    per domain — a declared crawl-delay wins over the config default in
+    EITHER direction, matching how polite crawlers treat the directive.
     The sandbox bench/oracle paths keep politeness VIRTUAL (epoch token
     budgets) and leave this off — real HTTP deployments turn it on."""
     from ..oracle.pycrawler import robots_allows  # shared gate
 
     if clock is None:
         import time as clock  # noqa: F811 — module provides monotonic+sleep
-    pace = fetcher is not None and politeness_delay > 0
+    pace = fetcher is not None and (
+        politeness_delay > 0 or bool(domain_delays)
+    )
+    delays = domain_delays or {}
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last_fetch: dict[str, float] = {}  # per-partition pacing state
@@ -110,7 +118,8 @@ def make_parse_stage(
                         now = clock.monotonic()
                         due = last_fetch.get(row.domain)
                         if due is not None:
-                            wait = due + politeness_delay - now
+                            dly = delays.get(row.domain, politeness_delay)
+                            wait = due + dly - now
                             if wait > 0:
                                 clock.sleep(wait)
                                 now += wait

@@ -186,6 +186,11 @@ class EngineConfig:
     # a hot domain is serialized by definition, so domain-partitioning
     # loses nothing.
     wallclock_politeness: bool = False
+    # Per-domain robots.txt Crawl-delay overrides for the wall-clock pacer
+    # ({domain: seconds}, functions.robots.build_crawl_delays) — a declared
+    # delay wins over politeness_delay for that domain. Driver-sized like
+    # the robots dict; ignored unless wallclock_politeness is on.
+    crawl_delays: dict[str, float] | None = None
 
 
 _PHASE_DEBUG = os.environ.get("SPARK_GRAFT_PHASE_DEBUG") == "1"
@@ -264,6 +269,10 @@ class CrawlEngine:
             politeness_delay=(
                 self.cfg.politeness_delay
                 if self.cfg.wallclock_politeness else 0.0
+            ),
+            domain_delays=(
+                self.cfg.crawl_delays
+                if self.cfg.wallclock_politeness else None
             ),
         )
         self._in_stage_fetch = fetcher is not None

@@ -180,3 +180,33 @@ def test_engine_wallclock_mode_paces_and_crawls(spark, tmp_path):
     # discovered pages of the single domain in one paced partition:
     # at least (n-1) gaps of 0.4s must elapse
     assert wall_paced >= (n - 1) * 0.4
+
+
+def test_crawl_delay_overrides_per_domain():
+    """robots.txt Crawl-delay per-domain overrides: a domain with a
+    declared delay paces at THAT interval (either direction vs the
+    config default); undeclared domains keep the default."""
+    clock, log = FakeClock(), []
+
+    def fetcher(url):
+        log.append((url, clock.monotonic()))
+        return (200, "text/html", PAGE, url)
+
+    stage = make_parse_stage(
+        fetcher=fetcher, compute_sketches=False,
+        politeness_delay=DELAY, clock=clock,
+        domain_delays={"slow.uci.edu": 2.0, "fast.uci.edu": 0.1},
+    )
+    rows = _mk_rows({"slow.uci.edu": 3, "fast.uci.edu": 3, "plain.uci.edu": 3})
+    for out in stage(iter([pd.DataFrame(rows)])):
+        assert (out["gate"] == "ok").all()
+    times = _domain_times(log)
+    for dom, dly in (
+        ("slow.uci.edu", 2.0), ("fast.uci.edu", 0.1), ("plain.uci.edu", DELAY)
+    ):
+        gaps = [b - a for a, b in zip(times[dom], times[dom][1:])]
+        assert gaps and all(g >= dly - 1e-9 for g in gaps), (dom, gaps)
+    # no over-waiting: total elapsed equals the BINDING mandate — the
+    # slow domain's 2 gaps x 2.0s — not the sum of every domain's waits
+    # (other domains ride inside the slow domain's idle windows)
+    assert clock.t == pytest.approx(4.0)

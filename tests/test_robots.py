@@ -389,3 +389,56 @@ def test_join_gate_100k_hosts_without_driver_dict(spark):
     # even hosts lose /private (n/2 rows); everything else passes
     assert kept.count() == 2 * n - n // 2
     assert kept.where(F.col("url").contains("/private/")).count() == n // 2
+
+
+CRAWL_DELAY_BODIES = [
+    "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n",
+    "User-agent: googlebot\nCrawl-delay: 1\n\nUser-agent: *\nCrawl-delay: 9\n",
+    "User-agent: *\nCrawl-delay: -3\n",           # negative -> ignored
+    "User-agent: *\nCrawl-delay: soon\n",         # non-numeric -> ignored
+    "User-agent: *\nDisallow: /x\n",              # no delay at all
+    "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 4\n",  # last wins
+    "User-agent: a\nUser-agent: b\nCrawl-delay: 7\n",   # shared group
+]
+
+
+@pytest.mark.parametrize("body", CRAWL_DELAY_BODIES)
+@pytest.mark.parametrize("agent", ["*", "googlebot", "b"])
+def test_crawl_delay_matches_robotparser(body, agent):
+    from spacetime_crawler4py_spark.functions.robots import parse_crawl_delay
+
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(body.splitlines())
+    expected = rp.crawl_delay(agent)
+    if expected is not None:
+        expected = float(expected)
+    assert parse_crawl_delay(body, agent) == expected
+
+
+def test_ruleless_group_delay_is_rfc_not_robotparser():
+    """A group consisting solely of a Crawl-delay line: robotparser never
+    materializes entries without rulelines, silently dropping the delay
+    (same parser quirk as its empty-Disallow handling); RFC 9309 group
+    semantics say the user-agent line opened a group, so the polite
+    reading keeps the declared delay."""
+    from spacetime_crawler4py_spark.functions.robots import parse_crawl_delay
+
+    body = "User-agent: *\nCrawl-delay: 2.5\n"
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(body.splitlines())
+    assert rp.crawl_delay("*") is None          # robotparser drops it
+    assert parse_crawl_delay(body, "*") == 2.5  # we honor it
+
+
+def test_build_crawl_delays_from_dataframe(spark):
+    from spacetime_crawler4py_spark.functions.robots import build_crawl_delays
+
+    pages = spark.createDataFrame(
+        [
+            ("a.uci.edu", b"User-agent: *\nCrawl-delay: 3\n"),
+            ("b.uci.edu", b"User-agent: *\nDisallow: /x\n"),
+            ("c.uci.edu", None),
+        ],
+        "host string, payload binary",
+    )
+    assert build_crawl_delays(pages) == {"a.uci.edu": 3.0}
