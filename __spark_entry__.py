@@ -718,6 +718,20 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM scoring (operators/textstats.bigram_logprob,
+    lam = 0.75): per-bigram -ln P floored to integer milli-nats BEFORE
+    the per-doc sum, so the aggregate is an exact integer sum on both
+    engines."""
+    from spacetime_crawler4py_spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    return bigram_logprob(
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text"
+    )
+
+
 def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment: each event joined to its user's latest
     order at event time (backward-inclusive as-of join; see
@@ -1481,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "dup_spans": q_dup_spans,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "curation_full": q_curation_full,
         # corpus sampling / mixture stats
         "stratified_sample": q_stratified_sample,
@@ -2001,6 +2016,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(CAST(n_dup AS DOUBLE) * 1000000 / n_windows)
                         AS BIGINT) AS dup_ppm
             FROM p
+        """,
+        "bigram_logprob": f"""
+            WITH tk AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SQL_TOKENS} AS toks
+              FROM documents
+            ),
+            t AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+            big AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM tk, LATERAL (
+                SELECT unnest(range(1, len(toks))) AS i
+              )
+            ),
+            tot AS (SELECT count(*) AS t FROM t),
+            uni AS (SELECT w AS w2, count(*) AS c2 FROM t GROUP BY 1),
+            c1 AS (SELECT w AS w1, count(*) AS c1 FROM t GROUP BY 1),
+            cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+            m AS (
+              SELECT big.doc_id,
+                     CAST(floor(-ln(
+                       0.75 * (CAST(cb.cb AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+                       + 0.25 * (CAST(uni.c2 AS DOUBLE)
+                                 / CAST(tot.t AS DOUBLE))
+                     ) * 1000) AS BIGINT) AS m
+              FROM big
+                JOIN cb USING (w1, w2)
+                JOIN c1 USING (w1)
+                JOIN uni USING (w2), tot
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(m) AS BIGINT) AS nll_milli_sum
+            FROM m GROUP BY doc_id
         """,
         "unigram_logprob": f"""
             WITH t AS (

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "dup_span_removal",
     "paragraph_dedup",
     "unigram_logprob",
+    "bigram_logprob",
     "curation_full",
     "stratified_sample",
     "length_deciles",

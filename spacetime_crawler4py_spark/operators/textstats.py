@@ -30,6 +30,7 @@ __all__ = [
     "dup_span_stats",
     "remove_dup_spans",
     "unigram_logprob",
+    "bigram_logprob",
     "paragraph_dedup",
     "LANG_MARKERS",
 ]
@@ -470,6 +471,69 @@ def unigram_logprob(
             F.floor(F.col("nll") * 1000 / F.col("n_tokens"))
             .cast("long")
             .alias("nll_milli"),
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam_ppm: int = 750_000,
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Interpolated bigram-LM quality score — one rung up from
+    unigram_logprob toward CCNet's KenLM perplexity filter: per doc, the
+    summed negative log-probability of its token bigrams under
+    P(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/T, the corpus's own
+    Jelinek-Mercer-smoothed bigram model (lam given in ppm; the backoff
+    term keeps unseen continuations finite without Katz discounting
+    machinery). Returns ``(doc_id, n_bigrams, nll_milli_sum)`` for every
+    doc with at least one bigram; templated boilerplate scores low,
+    incoherent token soup scores high.
+
+    Cross-engine exactness, one step STRICTER than unigram_logprob: each
+    bigram's -ln P is floored to integer milli-nats BEFORE the sum, so
+    the per-doc aggregate is an exact integer sum — order-independent
+    under any partitioning, bit-identical in SQL — rather than a float
+    sum that happens to stay off floor boundaries.
+
+    Plan shape: the bigram stream is one lead window over the shared
+    token stream (the dup_span_stats shuffle, reused); c(w1 w2) and
+    c(w1) are hash aggs with map-side combine (hot bigrams — boilerplate
+    again — collapse before the shuffle); T is a 1-row broadcast. The
+    count dims are vocabulary-sized and joined back on the string key
+    (xxhash64 at real scale, as in dup_span_stats)."""
+    tok = tokens if tokens is not None else tokens_exploded(df, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    tot = F.broadcast(tok.agg(F.count("*").alias("t")))
+    uni = tok.groupBy(F.col("w").alias("w2")).agg(F.count("*").alias("c2"))
+    c1 = tok.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    lam = F.lit(lam_ppm / 1_000_000.0)
+    p = (
+        lam * (F.col("cb").cast("double") / F.col("c1").cast("double"))
+        + (F.lit(1.0) - lam)
+        * (F.col("c2").cast("double") / F.col("t").cast("double"))
+    )
+    return (
+        big.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(uni, "w2")
+        .crossJoin(tot)
+        .select("doc_id", F.floor(-F.log(p) * 1000).cast("long").alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("m").alias("nll_milli_sum"),
         )
     )
 

@@ -101,3 +101,50 @@ def test_shared_tokens_param_equals_internal_tokenize(spark):
         ).alias("n"),
     )
     assert rows(n_tok) == rows(expect)
+
+
+def test_bigram_logprob_matches_local_model(spark):
+    """Interpolated bigram LM: exact match against a plain-Python
+    re-derivation of P(w2|w1) = 0.75*cb/c1 + 0.25*c2/T with per-bigram
+    milli-nat flooring, and partitioning invariance of the integer sums."""
+    import math
+    from collections import Counter
+
+    from spacetime_crawler4py_spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    texts = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "dog"),                      # no bigram -> no output row
+        (3, "mat mat mat the cat"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           bigram_logprob(df, "doc_id", "text").collect()}
+    out2 = {r.doc_id: r for r in
+            bigram_logprob(df.repartition(5), "doc_id", "text").collect()}
+    assert {(k, v.n_bigrams, v.nll_milli_sum) for k, v in out.items()} == \
+           {(k, v.n_bigrams, v.nll_milli_sum) for k, v in out2.items()}
+
+    # local model over the same tokenization (>=2 lowercase letters)
+    docs = {i: [w for w in t.split() if len(w) >= 2] for i, t in texts}
+    uni = Counter(w for ws in docs.values() for w in ws)
+    T = sum(uni.values())
+    cb = Counter(
+        (a, b) for ws in docs.values() for a, b in zip(ws, ws[1:])
+    )
+    assert 2 not in out
+    for i, ws in docs.items():
+        bigs = list(zip(ws, ws[1:]))
+        if not bigs:
+            continue
+        exp = sum(
+            math.floor(-math.log(
+                0.75 * cb[(a, b)] / uni[a] + 0.25 * uni[b] / T
+            ) * 1000)
+            for a, b in bigs
+        )
+        assert out[i].n_bigrams == len(bigs)
+        assert out[i].nll_milli_sum == exp, i
