@@ -68,12 +68,14 @@ from spacetime_crawler4py_spark.operators.textstats import (
     LANG_MARKERS,
     bm25_scores,
     dup_span_stats,
+    langid_ngram,
     remove_dup_spans,
     repetition_scores,
     report_tokens_col,
     tokens_exploded,
     unigram_logprob,
 )
+from spacetime_crawler4py_spark.functions import langseeds
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -274,6 +276,104 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("de"))
     )
     return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram hashed-feature language classifier
+    (operators/textstats.langid_ngram): integer-only weights derived
+    from the embedded seed corpus, so the DuckDB oracle retrains the
+    SAME model from the SAME seeds and must agree bit-for-bit on every
+    per-doc score. Accuracy on a multi-language held-out fixture is
+    gated separately (tests/test_langid_ngram.py)."""
+    return langid_ngram(
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text"
+    )
+
+
+def _langid_ngram_oracle() -> str:
+    """DuckDB twin of langid_ngram: retrain the centered-ppm trigram
+    weights from the embedded seed corpus (VALUES list), then score the
+    documents table — integer arithmetic end-to-end, so this is an exact
+    replay of the Spark plan, not an approximation."""
+    langs = langseeds.LANGS
+    seeds = ",\n              ".join(
+        f"('{lang}', '{para.replace(chr(39), chr(39) * 2)}')"
+        for lang in langs
+        for para in langseeds.SEED_CORPUS[lang]
+    )
+    tri = (
+        "(ascii(substr(t, CAST(i AS INT), 1)) * 961"
+        " + ascii(substr(t, CAST(i AS INT) + 1, 1)) * 31"
+        " + ascii(substr(t, CAST(i AS INT) + 2, 1))) % 4096"
+    )
+    wp_cols = ",\n                     ".join(
+        f"CAST(sum(CASE WHEN lang = '{lang}' THEN w ELSE 0 END) AS BIGINT)"
+        f" AS w_{lang}"
+        for lang in langs
+    )
+    sc_cols = ",\n                     ".join(
+        f"CAST(sum(coalesce(w_{lang}, 0)) AS BIGINT) AS s_{lang}"
+        for lang in langs
+    )
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return f"""
+            WITH seeds(lang, txt) AS (VALUES
+              {seeds}),
+            sn AS (
+              SELECT lang,
+                     ' ' || regexp_replace(lower(txt), '[^a-z]+', ' ', 'g')
+                         || ' ' AS t
+              FROM seeds
+            ),
+            sg AS (
+              SELECT lang, {tri} AS b
+              FROM sn, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i) u
+            ),
+            cnt AS (SELECT lang, b, count(*) AS c FROM sg GROUP BY lang, b),
+            tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY lang),
+            allc AS (SELECT b, sum(c) AS ca FROM cnt GROUP BY b),
+            allt AS (SELECT sum(c) AS ta FROM cnt),
+            w AS (
+              SELECT l.lang, a.b,
+                     (coalesce(c.c, 0) * 1000000) // t.t
+                       - (a.ca * 1000000) // allt.ta AS w
+              FROM (SELECT DISTINCT lang FROM cnt) l
+              CROSS JOIN allc a
+              CROSS JOIN allt
+              JOIN tot t ON t.lang = l.lang
+              LEFT JOIN cnt c ON c.lang = l.lang AND c.b = a.b
+            ),
+            wp AS (
+              SELECT b,
+                     {wp_cols}
+              FROM w GROUP BY b
+            ),
+            dn AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g')
+                         || ' ' AS t
+              FROM documents
+            ),
+            dg AS (
+              SELECT doc_id, {tri} AS b
+              FROM dn, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i) u
+            ),
+            sc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     {sc_cols}
+              FROM dg LEFT JOIN wp USING (b)
+              GROUP BY doc_id
+            ),
+            g AS (SELECT *, {m} AS m FROM sc)
+            SELECT doc_id, n_grams, {case} AS lang,
+                   CAST(m AS BIGINT) AS score_ppm
+            FROM g
+        """
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
+        "langid_ngram": q_langid_ngram,
         "curation_full": q_curation_full,
         # corpus sampling / mixture stats
         "stratified_sample": q_stratified_sample,
@@ -1560,9 +1661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": q_revenue_rollup,
         "events_histogram": q_events_histogram,
         "event_windows": q_event_windows,
-        # new late in round 4 — lands in the tail because every head slot
-        # holds a query that has never earned a driver row; rotates into
-        # the head in round 5 once those are attested (check_oracle.py
     }
 
 
@@ -1744,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS lang_pred
             FROM s
         """,
+        "langid_ngram": _langid_ngram_oracle(),
         "fingerprints": (
             f"SELECT doc_id, md5(array_to_string({_SQL_TOKENS}, ' ')) AS fingerprint "
             "FROM documents"

@@ -70,6 +70,11 @@ def chunk_documents(
     if overlap < 0 or overlap >= window:
         raise ValueError(f"need 0 <= overlap < window, got {overlap}/{window}")
     stride = window - overlap
+    # NULL token arrays are dropped, not chunked: F.size(NULL) is -1, so a
+    # null-array doc would otherwise still emit one (chunk_idx=0, n_tok=0,
+    # chunk_md5=NULL) row while a SQL oracle's range(NULL) emits none — a
+    # latent cross-engine divergence. No tokens -> no chunks, both engines.
+    df = df.filter(F.col(tokens_col).isNotNull())
     n = F.size(tokens_col).cast("long")
     n_chunks = (
         F.when(n <= window, F.lit(1).cast("long"))

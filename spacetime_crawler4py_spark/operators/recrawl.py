@@ -115,11 +115,18 @@ def allocate_crawl_budget(
     O(domains) — politeness state, not corpus data — the same cardinality
     the watermark dim already carries; at 10^8 domains the rank is a
     single-column sort of an 16-byte row, and budgets below the base
-    never enter the rank at all."""
+    never enter the rank at all.
+
+    Domains with NULL or non-positive weight are dropped (they receive
+    no budget — a zero-weight domain must not outrank a positive one
+    for a remainder seat, and a negative weight would silently break
+    the sum(budget) == total_budget guarantee). If NO positive weight
+    exists the allocation is EMPTY, not a division-by-zero: the epoch
+    has nothing to apportion over."""
     w = weights.select(
         F.col(domain_col).alias("domain"),
         F.col(weight_col).cast("long").alias("weight"),
-    )
+    ).filter(F.col("weight") > 0)
     tot = F.broadcast(w.agg(F.sum("weight").alias("_W")))
     based = (
         w.crossJoin(tot)

@@ -24,6 +24,7 @@ __all__ = [
     "stopword_count_col",
     "quality_cols",
     "langid_col",
+    "langid_ngram",
     "fingerprint_col",
     "repetition_scores",
     "bm25_scores",
@@ -133,6 +134,96 @@ def langid_col(text: Column) -> Column:
         )
     )
     return best["lang"]
+
+
+def langid_ngram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-trigram language identification — the production-grade
+    replacement for ``langid_col``'s 4-language marker-count heuristic: a
+    hashed-feature linear classifier in the fastText/langid.py family
+    (char n-grams -> hashed buckets -> per-language linear score ->
+    argmax), covering {de, en, es, fr, it, pt}.
+
+    Model: text normalizes to ``' ' + regexp_replace(lower(text),
+    '[^a-z]+', ' ') + ' '``; every 3-char window hashes to one of 4096
+    buckets via a base-31 polynomial over the code points; each
+    language's score is the sum of integer per-bucket weights; argmax
+    wins, ties to the lexicographically smallest code. Weights are
+    centered ppm trigram frequencies trained from the embedded seed
+    corpus (functions/langseeds.py) with INTEGER-ONLY arithmetic — no
+    ln, no float division — so Spark, DuckDB, and the pure-Python twin
+    (langseeds.classify) produce bit-identical scores on any engine and
+    partitioning. Accuracy is gated on a held-out labeled fixture
+    (tests/test_langid_ngram.py).
+
+    Returns ``(doc_id, n_grams, lang, score_ppm)``; documents whose
+    normalized text has no trigram (empty/whitespace text) emit no row —
+    same contract as tokens_exploded's zero-token docs.
+
+    Plan shape: one scan + one explode (O(chars) rows), ONE broadcast
+    hash join against the 4096-row pivoted weight dim on an integer key,
+    one hash agg with map-side combine. No Python in the hot path; the
+    dim is training-time constant (ships with the job, like the unigram
+    LM dim)."""
+    from ..functions.langseeds import LANGS, train_weights
+
+    spark = df.sparkSession
+    w = train_weights()
+    buckets = sorted(set().union(*(set(d) for d in w.values())))
+    dim = spark.createDataFrame(
+        [(b, *[w[lang].get(b, 0) for lang in LANGS]) for b in buckets],
+        schema="bucket INT, "
+        + ", ".join(f"w_{lang} BIGINT" for lang in LANGS),
+    )
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "),
+        F.lit(" "),
+    )
+    grams = (
+        df.select(F.col(id_col).cast("long").alias("doc_id"), norm.alias("_t"))
+        .where(F.length("_t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("_t") - 2)).alias("_i"),
+            F.col("_t"),
+        )
+        .select(
+            "doc_id",
+            (
+                (
+                    F.ascii(F.substring(F.col("_t"), F.col("_i"), F.lit(1)))
+                    * 961
+                    + F.ascii(
+                        F.substring(F.col("_t"), F.col("_i") + 1, F.lit(1))
+                    )
+                    * 31
+                    + F.ascii(
+                        F.substring(F.col("_t"), F.col("_i") + 2, F.lit(1))
+                    )
+                )
+                % 4096
+            ).alias("bucket"),
+        )
+    )
+    scores = (
+        grams.join(F.broadcast(dim), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            *[
+                F.sum(F.coalesce(f"w_{lang}", F.lit(0))).alias(f"s_{lang}")
+                for lang in LANGS
+            ],
+        )
+    )
+    m = F.greatest(*[F.col(f"s_{lang}") for lang in LANGS])
+    pred = F.lit(None).cast("string")
+    # build the CASE back-to-front so alphabetical order wins ties
+    for lang in reversed(LANGS):
+        pred = F.when(F.col(f"s_{lang}") == m, F.lit(lang)).otherwise(pred)
+    return scores.select(
+        "doc_id", "n_grams", pred.alias("lang"), m.alias("score_ppm")
+    )
 
 
 # Gopher-style repetition gates (Rae et al. 2021 §A1.1 use character
