@@ -69,13 +69,15 @@ from spacetime_crawler4py_spark.operators.textstats import (
     bm25_scores,
     dup_span_stats,
     langid_ngram,
+    quality_model,
     remove_dup_spans,
+    remove_dup_spans_maximal,
     repetition_scores,
     report_tokens_col,
     tokens_exploded,
     unigram_logprob,
 )
-from spacetime_crawler4py_spark.functions import langseeds
+from spacetime_crawler4py_spark.functions import langseeds, qualityseeds
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -376,6 +378,68 @@ def _langid_ngram_oracle() -> str:
         """
 
 
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (operators/textstats.quality_model):
+    fastText-style linear scorer over hashed token features with
+    integer-only weights derived from the embedded HIGH/LOW seed
+    corpora, so the DuckDB oracle retrains the SAME model from the SAME
+    seeds and must agree bit-for-bit on every per-doc score. Accuracy on
+    a held-out labeled fixture is gated separately
+    (tests/test_quality_model.py)."""
+    return quality_model(
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+# the token hash every engine shares: first two chars + last char + length
+_SQL_QHASH = (
+    "(ascii(substr(w, 1, 1)) * 29791 + ascii(substr(w, 2, 1)) * 961"
+    " + ascii(substr(w, length(w), 1)) * 31 + length(w)) % 8192"
+)
+
+
+def _sql_quality_wt_ctes() -> str:
+    """The quality-model weight dim as DuckDB CTEs (qseeds -> qwt):
+    retrains textstats.quality_model's centered-ppm weights from the
+    embedded seed corpora with the same integer arithmetic. Shared by
+    the quality_model oracle and the gated-curation oracle."""
+    seeds = ",\n              ".join(
+        f"('{lbl}', '{para.replace(chr(39), chr(39) * 2)}')"
+        for lbl, paras in (
+            ("hi", qualityseeds.HI_SEEDS),
+            ("lo", qualityseeds.LO_SEEDS),
+        )
+        for para in paras
+    )
+    toks = _SQL_TOKENS.replace("lower(text)", "lower(txt)")
+    return f"""qseeds(lbl, txt) AS (VALUES
+              {seeds}),
+            qst AS (SELECT lbl, unnest({toks}) AS w FROM qseeds),
+            qsb AS (SELECT lbl, {_SQL_QHASH} AS b FROM qst),
+            qcnt AS (SELECT lbl, b, count(*) AS c FROM qsb GROUP BY lbl, b),
+            qtot AS (SELECT lbl, sum(c) AS t FROM qcnt GROUP BY lbl),
+            qwt AS (
+              SELECT b,
+                (coalesce(sum(CASE WHEN lbl = 'hi' THEN c END), 0) * 1000000)
+                  // (SELECT t FROM qtot WHERE lbl = 'hi')
+                - (coalesce(sum(CASE WHEN lbl = 'lo' THEN c END), 0) * 1000000)
+                  // (SELECT t FROM qtot WHERE lbl = 'lo') AS wt
+              FROM qcnt GROUP BY b
+            ),
+            qdt AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest({_SQL_TOKENS}) AS w
+              FROM documents
+            ),
+            qdb AS (SELECT doc_id, {_SQL_QHASH} AS b FROM qdt),
+            qdoc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(coalesce(wt, 0)) AS BIGINT) AS score_sum
+              FROM qdb LEFT JOIN qwt USING (b)
+              GROUP BY doc_id
+            )"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs_tokens(spark, sf_dir).select(
         "doc_id", F.md5(F.concat_ws(" ", F.col("tokens"))).alias("fingerprint")
@@ -627,6 +691,22 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     thin-page count, dup-span, unigram NLL, shingle pairs) reads the same
     lazily-checkpointed tokens_exploded stream instead of re-tokenizing
     100 TB per signal."""
+    return _curation_full_impl(spark, sf_dir, quality_gate=False)
+
+
+def q_curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_full with the OPTIONAL model-based quality gate enabled
+    (textstats.quality_model, the DCLM/FineWeb-Edu-style scorer): docs
+    whose hashed-token linear score is strictly negative drop with reason
+    'low_quality', slotted after the perplexity band and before the
+    duplicate survivor pick. Kept as a separate contract query so
+    curation_full's un-gated semantics stay independently attested."""
+    return _curation_full_impl(spark, sf_dir, quality_gate=True)
+
+
+def _curation_full_impl(
+    spark: SparkSession, sf_dir: str, quality_gate: bool
+) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
     ids = docs.select("doc_id")
     tok = tokens_exploded(docs, "doc_id", "text").localCheckpoint(eager=False)
@@ -651,21 +731,32 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dedup_assignments(ids, pairs, "doc_id")
     dup_ppm = F.coalesce("dup_ppm", F.lit(0))
     nll = F.coalesce("nll_milli", F.lit(0))
+    reason = (
+        F.when(F.col("n_tokens") < 20, "short")
+        .when(F.col("repetitive"), "repetitive")
+        .when(dup_ppm >= _DUP_SPAN_PPM_MAX, "dup_span")
+        .when((nll < _NLL_MILLI_MIN) | (nll > _NLL_MILLI_MAX), "perplexity")
+    )
     scored = (
         comp.join(rep, "doc_id")
         .join(ntok, "doc_id")
         .join(spans, "doc_id", "left")
         .join(lp, "doc_id", "left")
-        .withColumn(
-            "drop_reason",
-            F.when(F.col("n_tokens") < 20, "short")
-            .when(F.col("repetitive"), "repetitive")
-            .when(dup_ppm >= _DUP_SPAN_PPM_MAX, "dup_span")
-            .when(
-                (nll < _NLL_MILLI_MIN) | (nll > _NLL_MILLI_MAX), "perplexity"
-            ),
+    )
+    if quality_gate:
+        # sixth signal off the SAME checkpointed token stream; absent rows
+        # (zero-token docs) coalesce to 0 = pass, but those are already
+        # dropped as 'short' — the model only ever removes docs it
+        # recognizes as low-register (score < 0 fails, see quality_model)
+        qm = quality_model(docs, "doc_id", "text", tokens=tok).select(
+            "doc_id", "score_sum"
         )
-        .withColumn("eligible", F.col("drop_reason").isNull())
+        scored = scored.join(qm, "doc_id", "left")
+        reason = reason.when(
+            F.coalesce("score_sum", F.lit(0)) < 0, "low_quality"
+        )
+    scored = scored.withColumn("drop_reason", reason).withColumn(
+        "eligible", F.col("drop_reason").isNull()
     )
     survivors = (
         scored.where("eligible")
@@ -720,6 +811,23 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash row certify the full rewritten content of every doc."""
     return remove_dup_spans(
         _spread(_t(spark, sf_dir, "documents")), "doc_id", "text", n=8
+    ).orderBy("doc_id")
+
+
+def q_dup_span_removal_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length exact substring dedup (textstats.
+    remove_dup_spans_maximal): duplicated 8-gram windows merge into
+    maximal runs and only runs >= 16 tokens are removed — the Lee et al.
+    2022 span semantics (scaled from the paper's 50 to the sf corpus's
+    short docs); short idiom-length overlaps survive, unlike
+    dup_span_removal. kept_md5 certifies every doc's full rewritten
+    content cross-engine."""
+    return remove_dup_spans_maximal(
+        _spread(_t(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        n=8,
+        min_len=16,
     ).orderBy("doc_id")
 
 
@@ -1596,7 +1704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
         "langid_ngram": q_langid_ngram,
+        "quality_model": q_quality_model,
         "curation_full": q_curation_full,
+        "curation_quality_gate": q_curation_quality_gate,
         # corpus sampling / mixture stats
         "stratified_sample": q_stratified_sample,
         "length_deciles": q_length_deciles,
@@ -1610,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": q_sitemap_ingest,
         "corpus_build": q_corpus_build,
         "dup_span_removal": q_dup_span_removal,
+        "dup_span_removal_v2": q_dup_span_removal_v2,
         "recrawl_schedule": q_recrawl_schedule,
         "asof_latest_order": q_asof_latest_order,
         "range_window_rollup": q_range_window_rollup,
@@ -1670,7 +1781,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # gates) and its final per-doc keep/drop SELECT. curation_full uses them
 # directly; corpus_build extends the same chain with mixture resampling
 # and sequence packing so the END-TO-END corpus build replays in SQL.
-_SQL_CURATION_CTES = f"""tok AS (
+def _sql_curation_ctes(quality_gate: bool = False) -> str:
+    """The curation decision's CTE chain; with quality_gate the
+    model-based scorer's CTEs join in and a 'low_quality' arm lands
+    after the perplexity band — the SQL twin of
+    _curation_full_impl(quality_gate=True)."""
+    q_ctes = _sql_quality_wt_ctes() + ",\n            " if quality_gate else ""
+    q_arm = (
+        "\n                  WHEN COALESCE(q.score_sum, 0) < 0"
+        "\n                    THEN 'low_quality'"
+        if quality_gate
+        else ""
+    )
+    q_join = (
+        "\n              LEFT JOIN qdoc q USING (doc_id)"
+        if quality_gate
+        else ""
+    )
+    return f"""{q_ctes}tok AS (
               SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
             ),
             sh AS (
@@ -1767,19 +1895,22 @@ _SQL_CURATION_CTES = f"""tok AS (
                     THEN 'dup_span'
                   WHEN COALESCE(lp.nll_milli, 0) < {_NLL_MILLI_MIN}
                     OR COALESCE(lp.nll_milli, 0) > {_NLL_MILLI_MAX}
-                    THEN 'perplexity'
+                    THEN 'perplexity'{q_arm}
                 END AS drop_reason
               FROM assign a
               JOIN tok t USING (doc_id)
               LEFT JOIN bstat bs USING (doc_id)
               LEFT JOIN tstat ts USING (doc_id)
               LEFT JOIN dup USING (doc_id)
-              LEFT JOIN lp USING (doc_id)
+              LEFT JOIN lp USING (doc_id){q_join}
             ),
             surv AS (
               SELECT component_id, min(doc_id) AS survivor
               FROM scored WHERE drop_reason IS NULL GROUP BY component_id
             )"""
+
+
+_SQL_CURATION_CTES = _sql_curation_ctes()
 
 _SQL_CURATION_FINAL = """SELECT s.doc_id, s.component_id,
                    (s.drop_reason IS NULL AND s.doc_id = surv.survivor) AS keep,
@@ -1843,6 +1974,16 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "langid_ngram": _langid_ngram_oracle(),
+        "quality_model": f"""
+            WITH {_sql_quality_wt_ctes()}
+            SELECT doc_id, n_tokens, score_sum,
+                   score_sum >= 0 AS quality_pass
+            FROM qdoc
+        """,
+        "curation_quality_gate": f"""
+            WITH RECURSIVE {_sql_curation_ctes(quality_gate=True)}
+            {_SQL_CURATION_FINAL}
+        """,
         "fingerprints": (
             f"SELECT doc_id, md5(array_to_string({_SQL_TOKENS}, ' ')) AS fingerprint "
             "FROM documents"
@@ -2881,6 +3022,68 @@ def oracle_sql() -> dict[str, str]:
                    LATERAL (SELECT unnest(generate_series(0, 7)) AS k) k
             ),
             kept AS (SELECT ap.* FROM ap ANTI JOIN cov USING (doc_id, pos)),
+            ka AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     md5(string_agg(w, ' ' ORDER BY pos)) AS kmd5
+              FROM kept GROUP BY doc_id
+            ),
+            st AS (
+              SELECT doc_id, len(tokens) AS n_tokens FROM tok
+              WHERE len(tokens) > 0
+            )
+            SELECT st.doc_id, CAST(st.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(st.n_tokens - COALESCE(ka.n_kept, 0) AS BIGINT)
+                     AS n_removed,
+                   COALESCE(ka.kmd5, md5('')) AS kept_md5
+            FROM st LEFT JOIN ka USING (doc_id)
+            ORDER BY st.doc_id
+        """,
+        # v2 = same coverage, then gaps-and-islands to maximal runs and a
+        # >= 16-token length gate before removal (Lee et al. span
+        # semantics; see remove_dup_spans_maximal)
+        "dup_span_removal_v2": f"""
+            WITH tok AS (
+              SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+            ),
+            ap AS (
+              SELECT doc_id, s.i - 1 AS pos, tokens[s.i] AS w
+              FROM tok, LATERAL (SELECT unnest(generate_series(1,
+                     len(tokens))) AS i) s
+              WHERE len(tokens) > 0
+            ),
+            g8 AS (
+              SELECT doc_id, s.i - 1 AS pos,
+                     tokens[s.i]   || ' ' || tokens[s.i+1] || ' ' ||
+                     tokens[s.i+2] || ' ' || tokens[s.i+3] || ' ' ||
+                     tokens[s.i+4] || ' ' || tokens[s.i+5] || ' ' ||
+                     tokens[s.i+6] || ' ' || tokens[s.i+7] AS g
+              FROM tok, LATERAL (SELECT unnest(generate_series(1,
+                     len(tokens) - 7)) AS i) s
+              WHERE len(tokens) >= 8
+            ),
+            dupg AS (
+              SELECT g FROM (SELECT DISTINCT doc_id, g FROM g8)
+              GROUP BY g HAVING count(*) >= 2
+            ),
+            cov AS (
+              SELECT DISTINCT g8.doc_id, g8.pos + k.k AS pos
+              FROM g8 JOIN dupg USING (g),
+                   LATERAL (SELECT unnest(generate_series(0, 7)) AS k) k
+            ),
+            runs AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                       ORDER BY pos) AS rid
+              FROM cov
+            ),
+            longr AS (
+              SELECT doc_id, rid FROM runs
+              GROUP BY doc_id, rid HAVING count(*) >= 16
+            ),
+            rem AS (
+              SELECT r.doc_id, r.pos FROM runs r JOIN longr USING (doc_id, rid)
+            ),
+            kept AS (SELECT ap.* FROM ap ANTI JOIN rem USING (doc_id, pos)),
             ka AS (
               SELECT doc_id, count(*) AS n_kept,
                      md5(string_agg(w, ' ' ORDER BY pos)) AS kmd5

@@ -62,10 +62,14 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "dup_spans",
     "dup_span_removal",
+    "dup_span_removal_v2",
     "paragraph_dedup",
     "unigram_logprob",
     "bigram_logprob",
+    "langid_ngram",
+    "quality_model",
     "curation_full",
+    "curation_quality_gate",
     "stratified_sample",
     "length_deciles",
     "decontamination",

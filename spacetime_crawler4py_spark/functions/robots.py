@@ -50,6 +50,7 @@ __all__ = [
     "build_robots_rules_df",
     "parse_crawl_delay",
     "build_crawl_delays",
+    "build_crawl_delays_df",
     "robots_gate_join",
     "robots_allows",
     "rule_pattern_regex",
@@ -234,17 +235,21 @@ def parse_crawl_delay(content: str, agent: str = "*") -> float | None:
     return delays.get(best)
 
 
-def build_crawl_delays(
+def build_crawl_delays_df(
     robots_pages,
     host_col: str = "host",
     payload_col: str = "payload",
     agent: str = "*",
-) -> dict[str, float]:
-    """{host: crawl-delay seconds} from fetched robots.txt payloads — the
-    per-domain politeness dim the engine's wall-clock pacer consumes
-    (EngineConfig.crawl_delays). Driver-sized like build_robots_rules:
-    O(hosts) floats, right for the north-rule scope; a 10^7-host crawl
-    would keep this as a join dim exactly like robots_gate_join."""
+):
+    """Fetched robots.txt payloads -> the per-domain ``Crawl-delay`` dim
+    as a DATAFRAME ``(domain string, crawl_delay double)`` — the
+    host-scale path (mirror of robots_gate_join): parsing runs as an
+    Arrow stage on the executors and the dim NEVER lands on the driver.
+    The engine joins it onto the dequeued batch by domain
+    (EngineConfig.crawl_delays_df), so at 10^7 hosts the delays ride the
+    domain-partitioned fetch stage as a column instead of a driver dict.
+    Hosts whose robots.txt declares no delay emit no row (the pacer
+    falls back to the config default for them)."""
     import pandas as pd
 
     def stage(batches):
@@ -263,14 +268,32 @@ def build_crawl_delays(
                     hosts.append(getattr(row, host_col))
                     ds.append(d)
             yield pd.DataFrame(
-                {"host": pd.Series(hosts, dtype=object),
-                 "delay": pd.Series(ds, dtype="float64")}
+                {"domain": pd.Series(hosts, dtype=object),
+                 "crawl_delay": pd.Series(ds, dtype="float64")}
             )
 
-    parsed = robots_pages.select(host_col, payload_col).mapInPandas(
-        stage, schema="host string, delay double"
+    return robots_pages.select(host_col, payload_col).mapInPandas(
+        stage, schema="domain string, crawl_delay double"
     )
-    return {r.host: float(r.delay) for r in parsed.collect()}
+
+
+def build_crawl_delays(
+    robots_pages,
+    host_col: str = "host",
+    payload_col: str = "payload",
+    agent: str = "*",
+) -> dict[str, float]:
+    """{host: crawl-delay seconds} — the small-crawl convenience path
+    (EngineConfig.crawl_delays): collects build_crawl_delays_df to a
+    driver dict, O(declaring hosts) floats. For host counts where a
+    driver dict is wrong, pass the DataFrame itself as
+    EngineConfig.crawl_delays_df instead."""
+    return {
+        r.domain: float(r.crawl_delay)
+        for r in build_crawl_delays_df(
+            robots_pages, host_col, payload_col, agent
+        ).collect()
+    }
 
 
 def build_robots_rules(

@@ -23,6 +23,7 @@ __all__ = [
     "word_count_col",
     "stopword_count_col",
     "quality_cols",
+    "quality_model",
     "langid_col",
     "langid_ngram",
     "fingerprint_col",
@@ -30,6 +31,7 @@ __all__ = [
     "bm25_scores",
     "dup_span_stats",
     "remove_dup_spans",
+    "remove_dup_spans_maximal",
     "unigram_logprob",
     "bigram_logprob",
     "paragraph_dedup",
@@ -134,6 +136,72 @@ def langid_col(text: Column) -> Column:
         )
     )
     return best["lang"]
+
+
+def quality_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Model-based document quality scoring — the DCLM / FineWeb-Edu
+    "educational value" gate, the one standard curation signal family the
+    heuristic quality_cols doesn't cover: a fastText-style linear
+    classifier over hashed token features. Each token hashes to one of
+    8192 buckets (functions/qualityseeds.bucket_of_word — first two
+    chars + last char + length, every term portable SQL); the document's
+    score is the sum of integer per-bucket weights trained from the
+    embedded HIGH (encyclopedic prose) vs LOW (spam/clickbait/nav
+    boilerplate) seed corpora as centered ppm frequency differences.
+    INTEGER-ONLY arithmetic end-to-end, so Spark, DuckDB, and the
+    pure-Python twin (qualityseeds.score) agree bit-for-bit on any
+    engine and partitioning; accuracy is gated on a held-out labeled
+    fixture (tests/test_quality_model.py).
+
+    Returns ``(doc_id, n_tokens, score_sum, quality_pass)`` where
+    quality_pass = score_sum >= 0 — strictly negative means actively
+    spam-like; zero (vocabulary the model has never seen) passes, so
+    the gate fails OPEN on no-opinion. Zero-token docs emit no row — same
+    contract as
+    tokens_exploded; compositions treat absent as fail-open/closed per
+    their own policy. ``tokens``, when given, is a shared
+    tokens_exploded stream (curation_full passes its checkpointed one,
+    so the corpus text is scanned once across all signals).
+
+    Plan shape: O(tokens) rows through ONE broadcast hash join against
+    the 8192-row weight dim on an integer key, then one hash agg with
+    map-side combine. No Python in the hot path; the dim is a
+    training-time constant that ships with the job."""
+    from ..functions.qualityseeds import train_weights
+
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        sorted(train_weights().items()), schema="bucket INT, wt BIGINT"
+    )
+    tok = (
+        tokens if tokens is not None else tokens_exploded(df, id_col, text_col)
+    ).select("doc_id", F.col("w").alias("_w"))
+    bucket = (
+        F.ascii(F.substring(F.col("_w"), F.lit(1), F.lit(1))) * 29791
+        + F.ascii(F.substring(F.col("_w"), F.lit(2), F.lit(1))) * 961
+        + F.ascii(F.substring(F.col("_w"), F.length("_w"), F.lit(1))) * 31
+        + F.length("_w")
+    ) % 8192
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .join(F.broadcast(dim), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("wt", F.lit(0))).alias("score_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_sum",
+            (F.col("score_sum") >= 0).alias("quality_pass"),
+        )
+    )
 
 
 def langid_ngram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -464,6 +532,59 @@ def remove_dup_spans(
         if tokens is not None
         else tokens_exploded(df, id_col, text_col).localCheckpoint(eager=False)
     )
+    return _rewrite_from_removed(tok, _dup_covered_positions(tok, n))
+
+
+def remove_dup_spans_maximal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_len: int = 50,
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Exact substring dedup with Lee et al. 2022's VARIABLE-LENGTH span
+    semantics: adjacent duplicated n-gram windows merge into maximal
+    runs, and only runs of at least ``min_len`` tokens are removed (the
+    paper removes >= 50-BPE-token spans). ``remove_dup_spans`` is the
+    fixed-window approximation that also strips short duplicated
+    phrases; this variant keeps them — idiom-length overlap is normal
+    language, only long verbatim blocks are boilerplate/plagiarism.
+
+    Approximation note vs the paper's suffix array: a duplicated run
+    here is a maximal chain of duplicated n-gram WINDOWS, so two
+    distinct duplicated substrings separated by fewer than n
+    non-duplicated tokens can chain into one run, and each reported run
+    extends to the n-gram window end (up to n-1 tokens past the last
+    duplicated n-gram start). With n << min_len (8 vs 50) both effects
+    are bounded by n-1 tokens — the documented deviation (SURVEY §2.9).
+
+    Output contract and plan shape match remove_dup_spans, plus one
+    per-doc gaps-and-islands window (pos - row_number) and an O(runs)
+    hash agg — both partition by doc_id, no global sort."""
+    tok = (
+        tokens
+        if tokens is not None
+        else tokens_exploded(df, id_col, text_col).localCheckpoint(eager=False)
+    )
+    covered = _dup_covered_positions(tok, n)
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    runs = covered.withColumn(
+        "_rid", F.col("pos") - F.row_number().over(wn)
+    )
+    long_runs = (
+        runs.groupBy("doc_id", "_rid")
+        .agg(F.count("*").alias("_rl"))
+        .where(F.col("_rl") >= min_len)
+        .select("doc_id", "_rid")
+    )
+    removed = runs.join(long_runs, ["doc_id", "_rid"]).select("doc_id", "pos")
+    return _rewrite_from_removed(tok, removed)
+
+
+def _dup_covered_positions(tok: DataFrame, n: int) -> DataFrame:
+    """Distinct (doc_id, pos) covered by any cross-document duplicated
+    n-gram window (distinct-doc frequency >= 2)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
     grams = (
@@ -484,7 +605,7 @@ def remove_dup_spans(
         .where(F.col("_nd") >= 2)
         .select("g")
     )
-    covered = (
+    return (
         grams.join(dupg, "g")
         .select(
             "doc_id",
@@ -494,7 +615,12 @@ def remove_dup_spans(
         )
         .distinct()
     )
-    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+
+
+def _rewrite_from_removed(tok: DataFrame, removed: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, kept_md5) after dropping the
+    ``removed`` (doc_id, pos) set from the token stream."""
+    kept = tok.join(removed, ["doc_id", "pos"], "left_anti")
     stats = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     kept_agg = kept.groupBy("doc_id").agg(
         F.count("*").alias("_n_kept"),
@@ -587,7 +713,16 @@ def bigram_logprob(
     bigram's -ln P is floored to integer milli-nats BEFORE the sum, so
     the per-doc aggregate is an exact integer sum — order-independent
     under any partitioning, bit-identical in SQL — rather than a float
-    sum that happens to stay off floor boundaries.
+    sum that happens to stay off floor boundaries. Residual risk: the
+    floor protects the AGGREGATION, not the floored term itself — JVM
+    Math.log and another engine's libm are not required to agree to the
+    last ulp, so a -ln(p) landing within an ulp of a milli-nat boundary
+    could floor differently per engine (same caveat family as
+    unigram_logprob's float path; never observed at test scale). The
+    fully-exact alternative — comparing p as a rational in integer
+    space — costs 128-bit arithmetic per bigram; langid_ngram and
+    quality_model show the log-free construction this engine prefers
+    when a signal can be formulated without ln.
 
     Plan shape: the bigram stream is one lead window over the shared
     token stream (the dup_span_stats shuffle, reused); c(w1 w2) and

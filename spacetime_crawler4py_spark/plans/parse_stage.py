@@ -50,6 +50,7 @@ def make_parse_stage(
     compute_sketches: bool = True,
     politeness_delay: float = 0.0,
     domain_delays: dict[str, float] | None = None,
+    delay_col: str | None = None,
     clock=None,
 ):
     """Returns a mapInPandas function over rows with columns
@@ -74,6 +75,11 @@ def make_parse_stage(
     via functions.robots.build_crawl_delays) overrides the base delay
     per domain — a declared crawl-delay wins over the config default in
     EITHER direction, matching how polite crawlers treat the directive.
+    ``delay_col`` is the HOST-SCALE form of the same override: the name
+    of a double column on the input rows carrying that row's declared
+    crawl-delay (NULL = none declared -> config default), joined in by
+    the caller from functions.robots.build_crawl_delays_df — no driver
+    dict at any host count. When both are given the column wins.
     The sandbox bench/oracle paths keep politeness VIRTUAL (epoch token
     budgets) and leave this off — real HTTP deployments turn it on."""
     from ..oracle.pycrawler import robots_allows  # shared gate
@@ -81,7 +87,7 @@ def make_parse_stage(
     if clock is None:
         import time as clock  # noqa: F811 — module provides monotonic+sleep
     pace = fetcher is not None and (
-        politeness_delay > 0 or bool(domain_delays)
+        politeness_delay > 0 or bool(domain_delays) or delay_col is not None
     )
     delays = domain_delays or {}
 
@@ -118,7 +124,14 @@ def make_parse_stage(
                         now = clock.monotonic()
                         due = last_fetch.get(row.domain)
                         if due is not None:
-                            dly = delays.get(row.domain, politeness_delay)
+                            dly = None
+                            if delay_col is not None:
+                                v = getattr(row, delay_col, None)
+                                # pandas renders a NULL double as NaN
+                                if v is not None and v == v:
+                                    dly = float(v)
+                            if dly is None:
+                                dly = delays.get(row.domain, politeness_delay)
                             wait = due + dly - now
                             if wait > 0:
                                 clock.sleep(wait)

@@ -191,6 +191,13 @@ class EngineConfig:
     # delay wins over politeness_delay for that domain. Driver-sized like
     # the robots dict; ignored unless wallclock_politeness is on.
     crawl_delays: dict[str, float] | None = None
+    # HOST-SCALE form of the same override: a (domain, crawl_delay) dim
+    # DataFrame (functions.robots.build_crawl_delays_df), joined onto the
+    # dequeued batch by domain before the fetch stage — no driver dict at
+    # any host count, mirroring robots_rules_df vs the robots dict. Wins
+    # over crawl_delays when both are set; ignored unless
+    # wallclock_politeness is on and the fetcher runs in-stage.
+    crawl_delays_df: "DataFrame | None" = None
 
 
 _PHASE_DEBUG = os.environ.get("SPARK_GRAFT_PHASE_DEBUG") == "1"
@@ -273,6 +280,13 @@ class CrawlEngine:
             domain_delays=(
                 self.cfg.crawl_delays
                 if self.cfg.wallclock_politeness else None
+            ),
+            delay_col=(
+                "crawl_delay"
+                if self.cfg.wallclock_politeness
+                and self.cfg.crawl_delays_df is not None
+                and fetcher is not None
+                else None
             ),
         )
         self._in_stage_fetch = fetcher is not None
@@ -593,6 +607,19 @@ class CrawlEngine:
             cols.insert(1, "url_hash")
         slim = dequeued.select(*cols)
         if self._in_stage_fetch:
+            if (
+                self.cfg.wallclock_politeness
+                and self.cfg.crawl_delays_df is not None
+            ):
+                # per-domain Crawl-delay rides the batch as a column; the
+                # dequeue already partitioned by domain, and the dim is
+                # domain-keyed, so the join co-locates without a new
+                # shuffle shape (AQE broadcasts it at sane dim sizes)
+                slim = slim.join(
+                    self.cfg.crawl_delays_df.select("domain", "crawl_delay"),
+                    "domain",
+                    "left",
+                )
             return slim.mapInPandas(self._parse_stage, schema=PARSED_SCHEMA)
         web = self.web_df.select(
             "url", "status", "final_url", "content_type", "payload"

@@ -210,3 +210,84 @@ def test_crawl_delay_overrides_per_domain():
     # slow domain's 2 gaps x 2.0s — not the sum of every domain's waits
     # (other domains ride inside the slow domain's idle windows)
     assert clock.t == pytest.approx(4.0)
+
+
+def test_delay_column_overrides_config_default():
+    """Host-scale Crawl-delay path: the per-row ``crawl_delay`` column
+    (joined in from build_crawl_delays_df) paces its domain; NULL/NaN
+    rows fall back to the config default — same semantics as the
+    domain_delays dict, with no driver state."""
+    import math
+
+    clock, log = FakeClock(), []
+
+    def fetcher(url):
+        log.append((url, clock.monotonic()))
+        return (200, "text/html", PAGE, url)
+
+    stage = make_parse_stage(
+        fetcher=fetcher, compute_sketches=False,
+        politeness_delay=DELAY, delay_col="crawl_delay", clock=clock,
+    )
+    rows = []
+    for dom, n, dly in (
+        ("slow.uci.edu", 3, 2.0),        # declared: 2s beats the 0.5 default
+        ("fast.uci.edu", 3, 0.1),        # declared: 0.1s beats it down
+        ("plain.uci.edu", 3, math.nan),  # undeclared -> default 0.5
+    ):
+        for slot in range(1, n + 1):
+            rows.append(
+                {
+                    "url": f"https://{dom}/p{slot}",
+                    "url_hash": f"h-{dom}-{slot}",
+                    "domain": dom,
+                    "slot": slot,
+                    "rk_round": 0,
+                    "rk_pop": "",
+                    "rk_pos": 0,
+                    "crawl_delay": dly,
+                }
+            )
+    for out in stage(iter([pd.DataFrame(rows)])):
+        assert (out["gate"] == "ok").all()
+    times = _domain_times(log)
+    for dom, dly in (
+        ("slow.uci.edu", 2.0), ("fast.uci.edu", 0.1), ("plain.uci.edu", DELAY)
+    ):
+        gaps = [b - a for a, b in zip(times[dom], times[dom][1:])]
+        assert all(g >= dly - 1e-9 for g in gaps), (dom, gaps)
+
+
+def test_delay_column_below_default_speeds_up_its_domain():
+    """A declared Crawl-delay SMALLER than the config default wins in
+    that direction too: a lone 0.1s domain finishes in 0.2s of sleep,
+    not the 1.0s the 0.5s default would impose."""
+    clock, log = FakeClock(), []
+
+    def fetcher(url):
+        log.append((url, clock.monotonic()))
+        return (200, "text/html", PAGE, url)
+
+    stage = make_parse_stage(
+        fetcher=fetcher, compute_sketches=False,
+        politeness_delay=DELAY, delay_col="crawl_delay", clock=clock,
+    )
+    rows = [
+        {
+            "url": f"https://fast.uci.edu/p{slot}",
+            "url_hash": f"h-fast-{slot}",
+            "domain": "fast.uci.edu",
+            "slot": slot,
+            "rk_round": 0,
+            "rk_pop": "",
+            "rk_pos": 0,
+            "crawl_delay": 0.1,
+        }
+        for slot in (1, 2, 3)
+    ]
+    for out in stage(iter([pd.DataFrame(rows)])):
+        assert (out["gate"] == "ok").all()
+    assert abs(sum(clock.sleeps) - 0.2) < 1e-9, clock.sleeps
+    ts = [t for _, t in log]
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    assert all(abs(g - 0.1) < 1e-9 for g in gaps), gaps

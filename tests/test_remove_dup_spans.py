@@ -108,3 +108,71 @@ def test_paragraph_dedup_planted_boilerplate(spark):
     assert out[2].kept_md5 == md5("gamma delta")
     assert (out[3].n_paras, out[3].n_kept) == (2, 2)  # empty para not counted
     assert out[3].kept_md5 == md5("epsilon zeta\n\neta theta")
+
+
+def test_maximal_runs_keep_short_spans(spark):
+    """remove_dup_spans_maximal: a 20-token duplicated block is removed
+    (run >= min_len), a 10-token duplicated phrase survives (run < 16) —
+    the Lee et al. variable-length semantics v1 cannot express."""
+    import hashlib
+
+    from spacetime_crawler4py_spark.operators.textstats import (
+        remove_dup_spans_maximal,
+    )
+
+    long_block = (
+        "one two three four five six seven eight nine ten eleven twelve"
+        " thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+        " twenty"
+    )  # 20 tokens
+    short_phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, f"{long_block} middle words {short_phrase} zz yy xx"),
+        (1, f"opening bit {long_block} closing"),
+        (2, f"unrelated text start {short_phrase} unrelated ending words"),
+        (3, "completely original sentence with no duplicated content at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.kept_md5)
+        for r in remove_dup_spans_maximal(
+            df, "doc_id", "text", n=8, min_len=16
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 0: the 20-token block goes, the 10-token phrase stays
+    assert got[0] == (
+        35,
+        20,
+        md5("middle words " + short_phrase + " zz yy xx"),
+    )
+    # doc 1 loses exactly the block; docs 2/3 keep everything
+    assert got[1] == (23, 20, md5("opening bit closing"))
+    assert got[2][1] == 0
+    assert got[3][1] == 0
+
+
+def test_maximal_runs_vs_v1_python_oracle(spark):
+    """Differential vs a transparent pure-Python re-implementation of the
+    maximal-run rule on the v1 fixture (where every duplicated run is the
+    10-token SHARED phrase -> with min_len=16 NOTHING is removed, and with
+    min_len=8 v2 degenerates to v1)."""
+    from spacetime_crawler4py_spark.operators.textstats import (
+        remove_dup_spans_maximal,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    v2_16 = {
+        r.doc_id: r.n_removed
+        for r in remove_dup_spans_maximal(
+            df, "doc_id", "text", n=8, min_len=16
+        ).collect()
+    }
+    assert all(v == 0 for v in v2_16.values()), v2_16
+    v2_8 = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.kept_md5)
+        for r in remove_dup_spans_maximal(
+            df, "doc_id", "text", n=8, min_len=8
+        ).collect()
+    }
+    assert v2_8 == _py_expected()

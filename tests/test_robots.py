@@ -442,3 +442,43 @@ def test_build_crawl_delays_from_dataframe(spark):
         "host string, payload binary",
     )
     assert build_crawl_delays(pages) == {"a.uci.edu": 3.0}
+
+
+def test_crawl_delay_dim_100k_hosts_without_driver_dict(spark):
+    """Host-scale Crawl-delay contract (mirror of the rules-join test):
+    10^5 hosts' delays parsed into a (domain, crawl_delay) dim that never
+    lands on the driver, ready to join onto the domain-partitioned fetch
+    batch (EngineConfig.crawl_delays_df)."""
+    from pyspark.sql import functions as F
+
+    from spacetime_crawler4py_spark.functions.robots import (
+        build_crawl_delays_df,
+    )
+
+    n = 100_000
+    declared = b"User-agent: *\nCrawl-delay: 3\nDisallow: /x\n"
+    silent = b"User-agent: *\nDisallow: /x\n"
+    pages = spark.range(n).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example.org")).alias("host"),
+        # every third host declares a delay; the rest stay silent
+        F.when(F.col("id") % 3 == 0, F.lit(declared))
+        .otherwise(F.lit(silent))
+        .alias("payload"),
+    )
+    dim = build_crawl_delays_df(pages)
+    assert dim.columns == ["domain", "crawl_delay"]
+    # only declaring hosts emit rows; nothing was collected to build this
+    expected = (n + 2) // 3
+    assert dim.count() == expected
+    agg = dim.agg(
+        F.min("crawl_delay").alias("lo"), F.max("crawl_delay").alias("hi")
+    ).collect()[0]
+    assert (agg["lo"], agg["hi"]) == (3.0, 3.0)
+    # and it joins onto a fetch batch as a plain column
+    batch = spark.range(n).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example.org")).alias(
+            "domain"
+        )
+    )
+    joined = batch.join(dim, "domain", "left")
+    assert joined.where(F.col("crawl_delay").isNotNull()).count() == expected
