@@ -291,3 +291,56 @@ def test_delay_column_below_default_speeds_up_its_domain():
     ts = [t for _, t in log]
     gaps = [b - a for a, b in zip(ts, ts[1:])]
     assert all(abs(g - 0.1) < 1e-9 for g in gaps), gaps
+
+
+def test_engine_crawl_delays_df_reaches_the_fetch_stage(spark, tmp_path):
+    """Engine-level wiring for the HOST-SCALE delay dim: with
+    EngineConfig.crawl_delays_df set, the (domain, crawl_delay) column
+    joins onto the dequeued batch and the in-stage pacer honors it — a
+    declared 0.8s delay must dominate the 0.05s config default, so the
+    epoch wall time proves the column actually arrived (no driver dict
+    anywhere on this path)."""
+    import time
+
+    from spacetime_crawler4py_spark.sources.store import SnapshotStore
+    from spacetime_crawler4py_spark.streaming.epochs import (
+        CrawlEngine, EngineConfig,
+    )
+
+    host = "www.ics.uci.edu"
+    n = 4
+    root = (
+        "<html><body>"
+        + " ".join(f'<a href="/p{i}">x</a>' for i in range(1, n + 1))
+        + "twenty words " * 15
+        + "</body></html>"
+    ).encode()
+
+    def fetcher(url):
+        payload = root if url == f"https://{host}" else PAGE
+        return (200, "text/html", payload, url)
+
+    delays_df = spark.createDataFrame(
+        [(host, 0.8), ("unrelated.example.org", 9.9)],
+        "domain string, crawl_delay double",
+    )
+    store = SnapshotStore(spark, str(tmp_path / "dimpaced"))
+    eng = CrawlEngine(
+        spark, store, None,
+        EngineConfig(
+            ordering="relaxed", neardup="off", rounds_per_epoch=n + 1,
+            politeness_delay=0.05, wallclock_politeness=True,
+            crawl_delays_df=delays_df,
+        ),
+        fetcher=fetcher,
+    )
+    eng.seed([f"https://{host}"])
+    t0 = time.monotonic()
+    eng.run()
+    wall = time.monotonic() - t0
+    assert {r.url_hash for r in store.read("seen").collect()} and \
+        store.read("completions").count() == n + 1
+    # the n discovered pages fetch in one paced partition: at least
+    # (n-1) gaps of the DECLARED 0.8s — 16x what the config default
+    # would mandate — must elapse
+    assert wall >= (n - 1) * 0.8
