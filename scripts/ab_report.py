@@ -70,6 +70,21 @@ def main() -> None:
                 f"**{max(b) / max(a):.3f}**, median ratio "
                 f"{_median(b) / _median(a):.3f}"
             )
+    # north-rule two-level scaling evidence, per variant: efficiency =
+    # (URLs/s @ local[8]) / (4 x URLs/s @ local[2]) from the SAME
+    # interleaved session, so both levels saw the same host weather.
+    for v, label in (("head", "HEAD"), ("r3", "r3")):
+        lo = [r["urls_per_s"] for r in crawl
+              if r["cpus"] == 2 and r["variant"] == v]
+        hi = [r["urls_per_s"] for r in crawl
+              if r["cpus"] == 8 and r["variant"] == v]
+        if lo and hi:
+            lines.append(
+                f"- {label} scaling 2->8 cores (4x): best-pair efficiency "
+                f"**{max(hi) / (4 * max(lo)):.3f}** "
+                f"({max(lo):,} -> {max(hi):,} URLs/s), median-pair "
+                f"{_median(hi) / (4 * _median(lo)):.3f}"
+            )
     if queries:
         names = sorted(queries[0]["times"])
         lines.append("")

@@ -1,0 +1,73 @@
+"""Positional inverted index (operators/invindex.build_inverted_index):
+hand-computed postings/dictionary on a tiny corpus, tokenizer parity with
+the report path (reference analyze_crawl.py:82-87 semantics), and
+partitioning-invariance of the emitted rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spacetime_crawler4py_spark.operators.invindex import build_inverted_index
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_postings_and_dictionary_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            # tokens: the cat sat on the mat
+            (1, "The cat sat on the mat."),
+            # tokens: the cat's cat  ->  possessive strip: the cat cat
+            (2, "The cat's cat!"),
+            (3, ""),  # zero-token doc: contributes no rows
+        ],
+        "doc_id long, text string",
+    )
+    postings, dictionary = build_inverted_index(docs, "doc_id", "text")
+
+    assert _rows(postings) == {
+        ("the", 1, 2, "0,4"),
+        ("cat", 1, 1, "1"),
+        ("sat", 1, 1, "2"),
+        ("on", 1, 1, "3"),
+        ("mat", 1, 1, "5"),
+        ("the", 2, 1, "0"),
+        ("cat", 2, 2, "1,2"),
+    }
+    assert _rows(dictionary) == {
+        ("the", 2, 3),
+        ("cat", 2, 3),
+        ("sat", 1, 1),
+        ("on", 1, 1),
+        ("mat", 1, 1),
+    }
+
+
+def test_partitioning_invariance(spark):
+    docs = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma "),
+            F.repeat(F.lit("delta "), (F.col("id") % 5).cast("int")),
+        ).alias("text"),
+    )
+    one = build_inverted_index(docs.coalesce(1), "doc_id", "text")
+    many = build_inverted_index(docs.repartition(13), "doc_id", "text")
+    for a, b in zip(one, many):
+        assert _rows(a) == _rows(b)
+
+
+def test_shared_token_stream_reuse(spark):
+    from spacetime_crawler4py_spark.operators.textstats import tokens_exploded
+
+    docs = spark.createDataFrame(
+        [(7, "one two two three three three")], "doc_id long, text string"
+    )
+    via_text = build_inverted_index(docs, "doc_id", "text")
+    via_tokens = build_inverted_index(
+        docs, "doc_id", "text", tokens=tokens_exploded(docs, "doc_id", "text")
+    )
+    assert _rows(via_text[0]) == _rows(via_tokens[0])
+    assert _rows(via_text[1]) == _rows(via_tokens[1])
