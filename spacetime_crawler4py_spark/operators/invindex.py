@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from .textstats import tokens_exploded
 
-__all__ = ["build_inverted_index"]
+__all__ = ["build_inverted_index", "phrase_hits"]
 
 
 def build_inverted_index(
@@ -68,3 +68,42 @@ def build_inverted_index(
         F.sum("tf").alias("cf"),
     )
     return postings, dictionary
+
+
+def _term_positions(postings: DataFrame, term: str) -> DataFrame:
+    """One posting list, exploded back to (doc_id, pos) ints."""
+    return postings.where(F.col("term") == term).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.split("positions", ","), lambda x: x.cast("int")
+            )
+        ).alias("pos"),
+    )
+
+
+def phrase_hits(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact-phrase search over the positional index: every occurrence of
+    the consecutive token sequence ``phrase``, as ``(doc_id, start_pos)``
+    (0-based token offset of the first word; overlapping matches all
+    count). This is why the index stores positions — tf alone can only
+    AND terms, not order them.
+
+    Plan shape: |phrase| posting-list scans (with the term filter pushed
+    into the scan — against a term-bucketed postings table each is a
+    pruned read of one bucket), then |phrase|-1 equi-joins keyed by
+    (doc_id, candidate start), each join between streams already shaped
+    by the previous one. No windows, no Python; per-join cardinality is
+    bounded by the rarest prefix term's collection frequency.
+    """
+    if not phrase:
+        raise ValueError("phrase must contain at least one term")
+    hits = _term_positions(postings, phrase[0]).withColumnRenamed(
+        "pos", "start_pos"
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = _term_positions(postings, term).select(
+            "doc_id", (F.col("pos") - i).alias("start_pos")
+        )
+        hits = hits.join(nxt, ["doc_id", "start_pos"])
+    return hits

@@ -7,7 +7,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from spacetime_crawler4py_spark.operators.invindex import build_inverted_index
+from spacetime_crawler4py_spark.operators.invindex import (
+    build_inverted_index,
+    phrase_hits,
+)
 
 
 def _rows(df):
@@ -57,6 +60,26 @@ def test_partitioning_invariance(spark):
     many = build_inverted_index(docs.repartition(13), "doc_id", "text")
     for a, b in zip(one, many):
         assert _rows(a) == _rows(b)
+
+
+def test_phrase_hits_exact_and_overlapping(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat then the cat ran"),  # "the cat" at 0 and 4
+            (2, "cat the cat"),                   # "the cat" at 1
+            (3, "the dog"),                       # no hit
+            (4, "aa aa aa"),                      # overlapping "aa aa": 0, 1
+        ],
+        "doc_id long, text string",
+    )
+    postings, _ = build_inverted_index(docs, "doc_id", "text")
+    assert _rows(phrase_hits(postings, ["the", "cat"])) == {
+        (1, 0), (1, 4), (2, 1),
+    }
+    assert _rows(phrase_hits(postings, ["aa", "aa"])) == {(4, 0), (4, 1)}
+    # 3-term phrase and a single-term degenerate case
+    assert _rows(phrase_hits(postings, ["the", "cat", "sat"])) == {(1, 0)}
+    assert _rows(phrase_hits(postings, ["dog"])) == {(3, 1)}
 
 
 def test_shared_token_stream_reuse(spark):
