@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "langid_ngram",
     "quality_model",
+    "inverted_index",
+    "phrase_search",
     "curation_full",
     "curation_quality_gate",
     "stratified_sample",
