@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "quality_model",
     "inverted_index",
     "phrase_search",
+    "value_percentiles",
     "curation_full",
     "curation_quality_gate",
     "stratified_sample",
