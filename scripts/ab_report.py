@@ -64,9 +64,9 @@ def main() -> None:
              if r["cpus"] == cpus and r["variant"] == "head"]
         if a and b:
             lines.append(
-                f"- local[{cpus}]: r3 best {max(a):,} / median "
-                f"{_median(a):,} vs HEAD best {max(b):,} / median "
-                f"{_median(b):,} -> HEAD/r3 best ratio "
+                f"- local[{cpus}]: r3 best {max(a):,.1f} / median "
+                f"{_median(a):,.1f} vs HEAD best {max(b):,.1f} / median "
+                f"{_median(b):,.1f} -> HEAD/r3 best ratio "
                 f"**{max(b) / max(a):.3f}**, median ratio "
                 f"{_median(b) / _median(a):.3f}"
             )
