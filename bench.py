@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "phrase_search",
     "value_percentiles",
+    "collocations",
     "curation_full",
     "curation_quality_gate",
     "stratified_sample",

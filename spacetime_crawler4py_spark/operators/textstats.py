@@ -34,6 +34,7 @@ __all__ = [
     "remove_dup_spans_maximal",
     "unigram_logprob",
     "bigram_logprob",
+    "collocation_lift",
     "paragraph_dedup",
     "LANG_MARKERS",
 ]
@@ -769,6 +770,75 @@ def fingerprint_col(text: Column) -> Column:
     under whitespace/punctuation/case noise (the role of the reference's
     shingle sketch, utils/similarity.py:36-45, as a single exact hash)."""
     return F.md5(F.concat_ws(" ", report_tokens_col(text)))
+
+
+def collocation_lift(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_pair: int = 5,
+    k: int = 50,
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus collocation extraction: the top-``k`` adjacent word pairs
+    by LIFT — n_xy * N / (n_x * n_y), the count-space core of PMI
+    (PMI = log2(lift); log is monotone, so the PMI ranking IS the lift
+    ranking and no engine ever takes a logarithm). Classic corpus
+    analytics ("hong kong" / "los angeles" detection); the reference's
+    report stops at unigram top-50 (analyze_crawl.py:82-87), this is the
+    bigram-association upgrade a phrase-aware pipeline wants.
+
+    Output: (w1, w2, n_xy, n_x, n_y, lift_ppm), n_xy >= min_pair, top-k
+    by (lift_ppm desc, w1 asc, w2 asc) — fully deterministic. lift_ppm
+    is the ALL-INTEGER floor of 1e6 * lift: (1000000 * n_xy * N) div
+    (n_x * n_y). No floats, no logs, so any engine agrees bit-for-bit
+    (same discipline as langid_ngram/quality_model; the ceil/floor
+    division caveat from operators/percentiles.py does not arise —
+    every operand here is positive). Exactness bound: the numerator
+    must fit a BIGINT, i.e. n_xy * N < ~9.2e12; corpora past that
+    should widen the numerator to DECIMAL(38,0) — a type change, not a
+    plan change.
+
+    n_x / n_y are token OCCURRENCE counts over the same stream the
+    bigrams come from, so lift is a pure function of the corpus, not
+    the layout. Plan shape: one lead window over the shared token
+    stream (the dup_span_stats/bigram_logprob shuffle, reusable via
+    ``tokens=``), a map-side-combinable pair hash-agg, a broadcast
+    unigram dim joined twice, one 1-row N constant, and a global top-k
+    (TakeOrdered, no full sort). min_pair prunes the pair dim BEFORE
+    the joins, so the join input is the interesting tail, not the
+    hapax cloud."""
+    toks = (
+        tokens
+        if tokens is not None
+        else tokens_exploded(df, id_col, text_col)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("w2", F.lead("w").over(w))
+        .where(F.col("w2").isNotNull())
+        .select(F.col("w").alias("w1"), "w2")
+    )
+    n_pairs = F.broadcast(pairs.agg(F.count("*").alias("_N")))
+    uni = F.broadcast(toks.groupBy("w").agg(F.count("*").alias("n_w")))
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_xy"))
+        .where(F.col("n_xy") >= int(min_pair))
+    )
+    scored = (
+        pc.join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y")), "w2")
+        .crossJoin(n_pairs)
+        .withColumn(
+            "lift_ppm",
+            F.expr("(1000000 * n_xy * _N) div (n_x * n_y)"),
+        )
+        .select("w1", "w2", "n_xy", "n_x", "n_y", "lift_ppm")
+    )
+    return scored.orderBy(
+        F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")
+    ).limit(int(k))
 
 
 def paragraph_dedup(

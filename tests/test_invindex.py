@@ -94,3 +94,25 @@ def test_shared_token_stream_reuse(spark):
     )
     assert _rows(via_text[0]) == _rows(via_tokens[0])
     assert _rows(via_text[1]) == _rows(via_tokens[1])
+
+
+def test_collocation_lift_hand_computed(spark):
+    from spacetime_crawler4py_spark.operators.textstats import (
+        collocation_lift,
+    )
+
+    docs = spark.createDataFrame(
+        # bigrams: (aa,bb) x2, (bb,aa), (bb,cc) — and none across the
+        # doc boundary ((cc,dd) must NOT appear)
+        [(1, "aa bb aa bb cc"), (2, "dd ee")],
+        "doc_id long, text string",
+    )
+    out = collocation_lift(docs, "doc_id", "text", min_pair=1, k=10)
+    rows = [tuple(r) for r in out.collect()]
+    # N = 5 bigrams; unigrams aa=2 bb=2 cc=1 dd=1 ee=1
+    assert rows == [
+        ("dd", "ee", 1, 1, 1, 5_000_000),
+        ("aa", "bb", 2, 2, 2, 2_500_000),  # ties on lift break w1 asc
+        ("bb", "cc", 1, 2, 1, 2_500_000),
+        ("bb", "aa", 1, 2, 2, 1_250_000),
+    ]
