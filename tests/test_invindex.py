@@ -116,3 +116,26 @@ def test_collocation_lift_hand_computed(spark):
         ("bb", "cc", 1, 2, 1, 2_500_000),
         ("bb", "aa", 1, 2, 2, 1_250_000),
     ]
+
+
+def test_phrase_hits_differential_vs_python_scan(spark):
+    """phrase_hits over the real sf0.001 corpus vs a pure-Python
+    brute-force scan using the tokenizer twin — every occurrence, no
+    misses, no extras, for phrases of length 1..3."""
+    from spacetime_crawler4py_spark.functions.qualityseeds import tokens_of
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(sf).select("doc_id", "text")
+    postings, _ = build_inverted_index(docs, "doc_id", "text")
+    postings = postings.localCheckpoint(eager=False)
+
+    corpus = {r["doc_id"]: tokens_of(r["text"]) for r in docs.collect()}
+    for phrase in (["row"], ["row", "column"], ["slow", "hash", "batch"]):
+        expect = {
+            (d, i)
+            for d, toks in corpus.items()
+            for i in range(len(toks) - len(phrase) + 1)
+            if toks[i : i + len(phrase)] == phrase
+        }
+        got = _rows(phrase_hits(postings, phrase))
+        assert got == expect, f"phrase {phrase}: {len(got)} vs {len(expect)}"
